@@ -1,0 +1,57 @@
+"""Deterministic fetch simulation (SURVEY.md S8/U10).
+
+The sandbox has no network, so the reference's 100-thread HTTP fetcher
+(ProcessingService.java:44-49,329-388) becomes a deterministic synthetic
+responder keyed by a cross-engine hash of the URL: md5's first 15 hex
+digits (< 2^60, signed-int64 safe), the same construction the reference
+uses for its fetch id (UUID.nameUUIDFromBytes == MD5,
+ProcessingService.java:350-355). The pure-Python oracle computes the
+identical key via hashlib, so fetch outcomes (hence crawl progression)
+match bit-for-bit. In production this stage is swapped for a mapInPandas
+HTTP fetcher with the same output schema.
+
+All expressions are JVM-side (md5/conv/pmod — whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import kernels as K
+
+
+def fetch_key(url_col="url"):
+    return F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("long")
+
+
+def with_fetch_sim(scheduled: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach deterministic fetch outcome columns:
+    status (95% → 200, else 404), content_type (by media/video suffix,
+    F6/F7 predicates; else text/html), content_length, latency_ms, and
+    fetch_id (full md5 — the reference's dedup key / filename analog)."""
+    key = fetch_key(url_col)
+    url = F.col(url_col)
+    is_video = url.rlike(K.SPARK_VIDEO_RE)
+    is_media = url.rlike(K.SPARK_MEDIA_RE)
+    return (scheduled
+            .withColumn("fetch_key", key)
+            .withColumn("status",
+                        F.when(F.pmod(F.col("fetch_key"), F.lit(100)) < 95, 200)
+                        .otherwise(404))
+            .withColumn("content_type",
+                        F.when(is_video, F.lit("video/mp4"))
+                        .when(is_media, F.lit("image/jpeg"))
+                        .otherwise(F.lit("text/html")))
+            .withColumn("content_length",
+                        (F.pmod(F.col("fetch_key"), F.lit(100000)) + 1000).cast("int"))
+            .withColumn("latency_ms",
+                        (F.pmod(F.col("fetch_key"), F.lit(500)) + 10).cast("int"))
+            .withColumn("fetch_id", F.md5(url)))
+
+
+def discovered_docs(fetched: DataFrame, docs: DataFrame) -> DataFrame:
+    """Scheduled-and-200 URLs that hit a document's page_url — the crawl's
+    page-discovery join. Equi-join on the URL; doc side is pruned to
+    (page_url, doc_id, spans) so column pruning reaches the parquet scan."""
+    pages = fetched.filter(F.col("status") == 200).select(F.col("url").alias("page_url"))
+    return docs.join(pages, "page_url", "left_semi")

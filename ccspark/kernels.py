@@ -1,0 +1,395 @@
+"""Pure pandas/numpy URL + feature kernels. No Spark imports.
+
+Single source of truth shared by (a) the Spark engine, which calls these
+inside vectorized pandas/Arrow UDFs, and (b) the pure-Python oracle
+(ccspark.oracle) that defines the engine's golden semantics. Sharing the
+kernel guarantees bit-identical floats and byte-identical URLs between the
+distributed plan and the single-threaded spec.
+
+Ported semantics (citations into /root/reference/):
+- whitespace strip:   ProcessingService.java:170-171
+- relative-URL resolution ("normalize"): ProcessingService.java:436-474,
+  including its quirks — the else-branch drops the base path entirely and
+  the ".." branch pops one path segment per split element (not per "..").
+- host extraction:    java.net.URL#getHost semantics, ProcessingService.java:393-394
+- www-strip:          ProcessingService.java:403-405
+- media-URL predicate: MediaNodeVisitor.java:32-42,159-168 (full-match)
+- video predicate:    ProcessingService.java:52-55,477-479 (full-match)
+- dims-from-URL:      FeaturesArffCreator.java:155-182
+- 23-dim feature vector: ProcessingService.java:595-689
+- char n-grams:       ScoreNgramArffCreator.java:104-138 (Lucene
+  NGramTokenizer min=2 max=15, NGramAnalyzer.java:22-23)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# regexes (verbatim ports; Java Pattern.matches == Python fullmatch)
+# --------------------------------------------------------------------------
+
+# java.net.URL only accepts registered protocols; everything else throws
+# MalformedURLException and falls into the reconstruction branch.
+ABS_RE_STR = r"(?i:https?|ftp|file|jar|mailto):"
+_ABS_RE = re.compile("^" + ABS_RE_STR)
+
+MEDIA_SUFFIX_RE = r"(?i).*\.(jpg|jpeg|png|gif|bmp|3gp|avi|flv|m4v|mov|mpg|mp4|mpeg|swf|wmv)$"
+
+# MediaNodeVisitor.java:36-42 — verbatim, including the unescaped '.' and
+# the '?' that makes the preceding char optional (reference quirks).
+PLATFORM_RES = [
+    r"https*://instagram.com/p/([\w\-]+)/",
+    r"https*://www.youtube.com/watch?.*v=([a-zA-Z0-9_\-]+)(&.+=.+)*",
+    r"https*://vimeo.com/([0-9]+)/*$",
+    r"https*://twitpic.com/([A-Za-z0-9]+)/*.*$",
+    r"https*://www.dailymotion.com/video/([A-Za-z0-9]+)_.*$",
+    r"https*://www.facebook.com/photo.php?.*fbid=([a-zA-Z0-9_\-]+)(&.+=.+)*",
+    r"https*://flickr.com/photos/([A-Za-z0-9@]+)/([A-Za-z0-9@]+)/*.*$",
+]
+
+# ProcessingService.java:52 (mid-pattern (?i) rewritten to scoped (?i:) —
+# same semantics, legal in both Java and Python).
+VIDEO_SUFFIX_RE = (
+    r"[^\s]+\.(?i:webm|mkv|flv|ogg|ogv|avi|mov|wmv|rm|mp4|m4v|mpg|mpeg|mp2|m2v|3gp|3g2|mxf)$"
+)
+VIDEO_PLATFORM_RES = [PLATFORM_RES[1], PLATFORM_RES[2], PLATFORM_RES[4]]
+
+_MEDIA_COMPILED = [re.compile(MEDIA_SUFFIX_RE)] + [re.compile(p) for p in PLATFORM_RES]
+_VIDEO_COMPILED = [re.compile(VIDEO_SUFFIX_RE)] + [re.compile(p) for p in VIDEO_PLATFORM_RES]
+
+
+def spark_fullmatch_re(patterns: list[str]) -> str:
+    """Anchor a list of Java-regex patterns for Spark's find-based rlike."""
+    return "|".join(f"^(?:{p})$" for p in patterns)
+
+
+SPARK_MEDIA_RE = spark_fullmatch_re([MEDIA_SUFFIX_RE] + PLATFORM_RES)
+SPARK_VIDEO_RE = spark_fullmatch_re([VIDEO_SUFFIX_RE] + VIDEO_PLATFORM_RES)
+
+# FeaturesArffCreator.java:159
+_DIMS_RE = re.compile(r"(\d+x\d+)+|(w|h|s)_?\d+|\d+px|(width|height|w|h)=\d+|_\d+\.")
+_NON_DIGIT = re.compile(r"[^\d]")
+
+# --------------------------------------------------------------------------
+# URL decomposition (java.net.URL getHost/getPath/getProtocol semantics)
+# --------------------------------------------------------------------------
+
+
+def split_url(url: str) -> tuple[str, str, str, str]:
+    """Return (protocol_lower, host, path, query) like java.net.URL.
+
+    host preserves case (getHost does), excludes userinfo and port;
+    path is everything between authority and '?'/'#'.
+    """
+    i = url.index(":")
+    proto = url[:i].lower()
+    rest = url[i + 1:]
+    if rest.startswith("//"):
+        end = len(rest)
+        for ch in "/?#":
+            j = rest.find(ch, 2)
+            if j != -1:
+                end = min(end, j)
+        authority, after = rest[2:end], rest[end:]
+    else:
+        authority, after = "", rest
+    host = authority.rsplit("@", 1)[-1]
+    if ":" in host:
+        host = host.split(":", 1)[0]
+    path, query = after, ""
+    j = path.find("#")
+    if j != -1:
+        path = path[:j]
+    j = path.find("?")
+    if j != -1:
+        path, query = path[:j], path[j + 1:]
+    return proto, host, path, query
+
+
+def is_absolute(url: str) -> bool:
+    return bool(_ABS_RE.match(url))
+
+
+def normalize_one(src: str, page_url: str) -> str | None:
+    """Port of ProcessingService.normalize() (ProcessingService.java:436-474).
+
+    Returns the normalized absolute URL, or None when both parses fail
+    (engine semantics: the candidate row is dropped, counted in metrics).
+    Quirks preserved:
+    - absolute src is returned untouched (the reference never reassigns
+      imageUrl in the try branch);
+    - the '..' branch pops one base-path segment per split ELEMENT
+      (len = elements.length, i.e. #dotdots+1), guarded by rfind('/') > 2;
+    - the else branch drops the base path entirely: 'a/b.jpg' against
+      'http://h/x/y.html' resolves to 'http://h/a/b.jpg';
+    - base port is dropped (getHost excludes it).
+    """
+    if _ABS_RE.match(src):
+        return src
+    if not _ABS_RE.match(page_url):
+        return None
+    try:
+        proto, host, path, _ = split_url(page_url)
+    except ValueError:
+        return None
+    parts = src.split("..")
+    while parts and parts[-1] == "":
+        parts.pop()
+    n = len(parts)
+    if n > 1:
+        tail = parts[-1]
+        p = path
+        idx = p.rfind("/")
+        while n > 0 and idx > 2:
+            p = p[:idx]
+            n -= 1
+            idx = p.rfind("/")
+        return f"{proto}://{host}{p}{tail}"
+    return f"{proto}://{host}" + ("" if src.startswith("/") else "/") + src
+
+
+# --------------------------------------------------------------------------
+# vectorized series kernels (pandas in / pandas out — used inside Arrow UDFs)
+# --------------------------------------------------------------------------
+
+
+def strip_whitespace(s: pd.Series) -> pd.Series:
+    """ProcessingService.java:170-171 — replaceAll("\\s", "")."""
+    return s.fillna("").str.replace(r"\s", "", regex=True)
+
+
+def normalize_series(src: pd.Series, page: pd.Series) -> pd.Series:
+    """Vectorized normalize: absolutes pass through (the common, fast path);
+    relatives run the exact reconstruction per element within the batch."""
+    src = src.fillna("")
+    page = page.fillna("")
+    absolute = src.str.match(ABS_RE_STR)
+    out = src.where(absolute, None)
+    rel = ~absolute & (src != "")
+    if rel.any():
+        out.loc[rel] = [normalize_one(s, p) for s, p in zip(src[rel], page[rel])]
+    return out
+
+
+def hosts_of(urls: pd.Series) -> pd.Series:
+    """java.net.URL#getHost for absolute URLs; None otherwise."""
+    def one(u):
+        if not isinstance(u, str) or not _ABS_RE.match(u):
+            return None
+        try:
+            return split_url(u)[1]
+        except ValueError:
+            return None
+    return urls.map(one)
+
+
+def strip_www(hosts: pd.Series) -> pd.Series:
+    """ProcessingService.java:403-405 — case-sensitive startsWith("www.")."""
+    return hosts.str.replace(r"^www\.", "", regex=True, case=True)
+
+
+def paths_of(urls: pd.Series) -> pd.Series:
+    def one(u):
+        if not isinstance(u, str) or not _ABS_RE.match(u):
+            return None
+        try:
+            return split_url(u)[2]
+        except ValueError:
+            return None
+    return urls.map(one)
+
+
+def surt_one(url: str) -> str | None:
+    """SURT-style sort key: reversed lowercase host (www-stripped), then path
+    and query. Total-order key for the frontier (SURVEY.md U4/U13)."""
+    if not isinstance(url, str) or not _ABS_RE.match(url):
+        return None
+    try:
+        _, host, path, query = split_url(url)
+    except ValueError:
+        return None
+    h = host.lower()
+    if h.startswith("www."):
+        h = h[4:]
+    key = ",".join(reversed(h.split("."))) + ")" + path
+    if query:
+        key += "?" + query
+    return key
+
+
+def surt_series(urls: pd.Series) -> pd.Series:
+    return urls.map(surt_one)
+
+
+def is_media_series(urls: pd.Series) -> pd.Series:
+    s = urls.fillna("")
+    m = s.str.fullmatch(MEDIA_SUFFIX_RE)
+    for p in PLATFORM_RES:
+        m = m | s.str.fullmatch(p)
+    return m
+
+
+def is_video_series(urls: pd.Series) -> pd.Series:
+    s = urls.fillna("")
+    m = s.str.fullmatch(VIDEO_SUFFIX_RE)
+    for p in VIDEO_PLATFORM_RES:
+        m = m | s.str.fullmatch(p)
+    return m
+
+
+def md5_key_one(url: str) -> int:
+    """Deterministic 60-bit key from md5 — the cross-engine (Spark/DuckDB/
+    Python) fetch-outcome seed. 15 hex digits < 2^60 fits a signed int64.
+    Analog of the reference's UUID.nameUUIDFromBytes fetch id
+    (ProcessingService.java:350-355, also MD5-based)."""
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def md5_keys(urls: pd.Series) -> pd.Series:
+    return urls.map(md5_key_one).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# priority features (ProcessingService.getFeatureVector, 23 dims)
+# --------------------------------------------------------------------------
+
+
+def extract_dims_one(url: str) -> tuple[int, int]:
+    """FeaturesArffCreator.extractNumeric (FeaturesArffCreator.java:155-182).
+
+    Iterates matches; an 'NxM' match sets both dims and breaks; 'w'/'s'
+    matches overwrite width, others height; NumberFormatException (int
+    overflow) aborts, keeping partial state."""
+    w = h = 0
+    try:
+        for m in _DIMS_RE.finditer(url):
+            el = m.group()
+            dims = el.split("x")
+            while dims and dims[-1] == "":   # Java split drops trailing empties
+                dims.pop()
+            if len(dims) > 1:
+                iw, ih = int(dims[0]), int(dims[1])
+                if iw > 2**31 - 1 or ih > 2**31 - 1:
+                    raise ValueError(el)  # Java Integer.parseInt overflow
+                w, h = iw, ih
+                break
+            d = int(_NON_DIGIT.sub("", el))
+            if d > 2**31 - 1:
+                raise ValueError(el)
+            if "w" in el or "s" in el:
+                w = d
+            else:
+                h = d
+    except ValueError:
+        pass
+    return w, h
+
+
+# deterministic fixed weights replacing the two RandomForests
+# (ProcessingService.java:200-230) so crawl ordering is reproducible.
+# Same 23 slots/order as createFeatureData (ProcessingService.java:692-724).
+FEATURE_WEIGHTS = np.array([
+    0.50,    # suffix jpeg
+    0.45,    # suffix png
+    0.10,    # suffix bmp
+    0.15,    # suffix gif
+    0.05,    # suffix tiff
+    -0.020,  # domDepth
+    -0.004,  # domSiblings
+    0.30,    # hasWidth
+    0.0008,  # width
+    0.30,    # hasHeight
+    0.0008,  # height
+    0.60,    # samedomain
+    0.55,    # domElement img
+    0.10,    # domElement link
+    0.35,    # domElement a
+    0.12,    # domElement embed
+    0.18,    # domElement iframe
+    0.08,    # domElement object
+    0.25,    # hasAltText
+    0.0030,  # altTextLength
+    0.12,    # hasParentText
+    0.0006,  # parentTextLength
+    -0.0015, # urlLength
+], dtype=np.float64)
+
+
+def feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
+    """23-dim feature matrix; pdf columns: url (normalized), page_url, kind,
+    alt, parent_txt, dom_depth, dom_sib. Port of getFeatureVector
+    (ProcessingService.java:595-689); dims via extractNumeric."""
+    n = len(pdf)
+    f = np.zeros((n, 23), dtype=np.float64)
+    url = pdf["url"].fillna("")
+    # getImageName / getSuffix (FeaturesArffCreator.java:188-194)
+    name = url.str.rsplit("/", n=1).str[-1]
+    suffix = name.str.rsplit(".", n=1).str[-1]
+    for j, sfx in enumerate(["jpeg", "png", "bmp", "gif", "tiff"]):
+        f[:, j] = (suffix == sfx).to_numpy(dtype=np.float64)
+    f[:, 5] = pdf["dom_depth"].fillna(0).to_numpy(dtype=np.float64)
+    f[:, 6] = pdf["dom_sib"].fillna(0).to_numpy(dtype=np.float64)
+    dims = np.array([extract_dims_one(u) for u in url], dtype=np.float64)
+    f[:, 7] = dims[:, 0] > 0
+    f[:, 8] = dims[:, 0]
+    f[:, 9] = dims[:, 1] > 0
+    f[:, 10] = dims[:, 1]
+    im_host = hosts_of(url).fillna("").str.lower()
+    pg_host = hosts_of(pdf["page_url"].fillna("")).fillna("").str.lower()
+    f[:, 11] = ((im_host != "") & (im_host == pg_host)).to_numpy(dtype=np.float64)
+    kind = pdf["kind"].fillna("")
+    for j, el in enumerate(["img", "link", "a", "embed", "iframe", "object"]):
+        f[:, 12 + j] = (kind == el).to_numpy(dtype=np.float64)
+    alt = pdf["alt"].fillna("")
+    f[:, 18] = (alt != "").to_numpy(dtype=np.float64)
+    f[:, 19] = alt.str.len().to_numpy(dtype=np.float64)
+    par = pdf["parent_txt"].fillna("")
+    f[:, 20] = (par != "").to_numpy(dtype=np.float64)
+    f[:, 21] = par.str.len().to_numpy(dtype=np.float64)
+    f[:, 22] = url.str.len().to_numpy(dtype=np.float64)
+    return f
+
+
+def priority_scores(pdf: pd.DataFrame) -> pd.Series:
+    """Deterministic priority replacing the dual-RF arbitration — fixed
+    weights over the reference's exact 23 features.
+
+    The reduction is an explicit left-to-right sum (NOT a BLAS matmul):
+    BLAS reorders the accumulation depending on batch shape, which would
+    make the float differ between Arrow batch sizes and the oracle."""
+    f = feature_matrix(pdf)
+    acc = np.zeros(len(pdf), dtype=np.float64)
+    for j in range(f.shape[1]):
+        acc += f[:, j] * FEATURE_WEIGHTS[j]
+    return pd.Series(acc, index=pdf.index)
+
+
+# --------------------------------------------------------------------------
+# char n-grams (ScoreNgramArffCreator.getNGramsFromString)
+# --------------------------------------------------------------------------
+
+MIN_NGRAM_SIZE = 2   # NGramAnalyzer.java:22
+MAX_NGRAM_SIZE = 15  # NGramAnalyzer.java:23
+
+
+def url_ngrams_one(s: str, nmin: int = MIN_NGRAM_SIZE, nmax: int = MAX_NGRAM_SIZE) -> set[str]:
+    """ScoreNgramArffCreator.java:104-138: strip scheme after '://' when the
+    string starts with 'http'; strip a ≤4-char extension; split on /|.|-;
+    emit all lowercase char n-grams of each piece, sizes nmin..nmax."""
+    if s.startswith("http"):
+        s = s[s.find("://") + 3:]  # Java indexOf(-1)+3 == substring(2) quirk preserved
+    dot = s.rfind(".")
+    if dot >= len(s) - 5 and dot != -1:
+        s = s[:dot]
+    out: set[str] = set()
+    for item in re.split(r"/|\.|\-", s):
+        L = len(item)
+        for size in range(nmin, min(nmax, L) + 1):
+            for i in range(L - size + 1):
+                out.add(item[i:i + size].lower())
+    return out

@@ -1,0 +1,195 @@
+"""Pure-Python single-threaded crawl oracle — the engine's executable spec.
+
+The reference's threaded path is non-deterministic (100-thread pool,
+ProcessingService.java:44-49), so the specified semantics are its
+deterministic MapReduce path (first-wins dedup, MediaReduce.java:12-19)
+plus the defined total order (priority desc, depth, surt, url — SURVEY.md
+U13) and the per-host politeness budget generalizing the global 150 ms
+gate. The Spark engine (ccspark.scheduler) must reproduce this oracle's
+scheduled ordering, URL-seen set, and per-round metrics exactly.
+
+Uses the same kernels (ccspark.kernels) as the engine's pandas UDFs, so
+floats and strings are bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from . import kernels as K
+from .params import CrawlParams, order_key
+
+
+def extract_links_py(doc: dict, follow_links: bool) -> list[dict]:
+    """Per-kind emission spec (port of MediaNodeVisitor.tail,
+    MediaNodeVisitor.java:61-139, over pre-interleaved spans):
+
+    - img / video / source : emit when media_ref is non-empty
+    - a / link             : emit when non-empty AND (isMediaUrl OR follow_links;
+                             the reference gates on isMediaUrl only — follow_links
+                             is the frontier generalization)
+    - iframe / embed / object : emit when non-empty AND isMediaUrl
+    - kind='text' never emits (F9 empty/null guard for the rest)
+
+    Span-field mapping (flat spans, SURVEY.md §1.4): alt := span.text,
+    dom_depth := span.offset, dom_sib := len(spans) - 1, parent_txt := ''.
+    """
+    spans = doc["spans"]
+    n_sib = len(spans) - 1
+    out = []
+    for sp in spans:
+        kind = sp["kind"]
+        if kind == "text":
+            continue
+        ref = sp["media_ref"] or ""
+        if ref == "":
+            continue
+        if kind in ("a", "link"):
+            if not follow_links and not _is_media(ref):
+                continue
+            if follow_links and not _is_media(ref):
+                pass  # followed as a page candidate
+        elif kind in ("iframe", "embed", "object"):
+            if not _is_media(ref):
+                continue
+        out.append({
+            "url_raw": ref,
+            "page_url": doc["page_url"],
+            "kind": kind,
+            "alt": (sp["text"] or "")[:500],   # TEXT_SIZE_LIMIT, MediaNodeVisitor.java:44
+            "parent_txt": "",
+            "dom_depth": int(sp["offset"]),
+            "dom_sib": n_sib,
+            "src_doc_id": doc["doc_id"],
+            "offset": int(sp["offset"]),
+        })
+    return out
+
+
+def _is_media(url: str) -> bool:
+    return bool(K.is_media_series(pd.Series([url])).iloc[0])
+
+
+@dataclass
+class OracleResult:
+    scheduled: list[list[dict]] = field(default_factory=list)  # per round, total order
+    seen: dict = field(default_factory=dict)                   # url -> first round
+    frontier: dict = field(default_factory=dict)               # url -> record (unscheduled)
+    metrics: list[dict] = field(default_factory=list)
+
+
+def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
+               params: CrawlParams = CrawlParams()) -> OracleResult:
+    docs_tbl = pq.read_table(documents_path).to_pylist()
+    seeds = [r["url"] for r in pq.read_table(seeds_path).to_pylist()]
+    robots = {r["host"]: r for r in pq.read_table(robots_path).to_pylist()}
+    docs_by_url = {d["page_url"]: d for d in docs_tbl}
+
+    res = OracleResult()
+    candidates = [{
+        "url_raw": u, "page_url": "", "kind": "seed", "alt": "",
+        "parent_txt": "", "dom_depth": 0, "dom_sib": 0,
+        "src_doc_id": "seed", "offset": 0,
+    } for u in seeds]
+
+    for r in range(params.rounds):
+        m = {"round": r, "candidates_in": len(candidates)}
+        # 1. canonicalize (kernels = same code as the engine UDFs)
+        canon = []
+        for c in candidates:
+            src = K.strip_whitespace(pd.Series([c["url_raw"]])).iloc[0]
+            page = K.strip_whitespace(pd.Series([c["page_url"]])).iloc[0]
+            if src == "":
+                continue
+            url = K.normalize_one(src, page) if not K.is_absolute(src) else src
+            if url is None:
+                continue
+            host = K.hosts_of(pd.Series([url])).iloc[0]
+            if host is None or host == "":
+                continue
+            hk = host[4:] if host.startswith("www.") else host
+            rec = dict(c)
+            rec.update(url=url, host=host, host_key=hk.lower(),
+                       surt=K.surt_one(url), depth=r)
+            canon.append(rec)
+        m["malformed_dropped"] = m["candidates_in"] - len(canon)
+
+        # priority via the shared kernel (vectorized, bit-identical to engine)
+        if canon:
+            pdf = pd.DataFrame({
+                "url": [c["url"] for c in canon],
+                "page_url": [c["page_url"] for c in canon],
+                "kind": [c["kind"] for c in canon],
+                "alt": [c["alt"] for c in canon],
+                "parent_txt": [c["parent_txt"] for c in canon],
+                "dom_depth": [c["dom_depth"] for c in canon],
+                "dom_sib": [c["dom_sib"] for c in canon],
+            })
+            pri = K.priority_scores(pdf)
+            for c, p in zip(canon, pri):
+                c["priority"] = float(p)
+
+        # 2. robots disallow at admission (counted, permanently dropped)
+        admitted = []
+        blocked = 0
+        for c in canon:
+            rb = robots.get(c["host_key"])
+            path = K.split_url(c["url"])[2]
+            if rb and any(path.startswith(p) for p in rb["disallow"]):
+                blocked += 1
+            else:
+                admitted.append(c)
+        m["robots_blocked"] = blocked
+
+        # 3. first-wins dedup within the batch (winner = best by total order,
+        #    then (src_doc_id, offset) for lineage determinism), then vs seen
+        admitted.sort(key=lambda c: order_key(c) + (c["src_doc_id"], c["offset"]))
+        batch_new = {}
+        for c in admitted:
+            if c["url"] not in batch_new:
+                batch_new[c["url"]] = c
+        new = [c for u, c in batch_new.items() if u not in res.seen]
+        m["dup_dropped"] = len(admitted) - len(new)
+        m["dedup_rate"] = (m["dup_dropped"] / len(admitted)) if admitted else 0.0
+        for c in new:
+            res.seen[c["url"]] = r
+            res.frontier[c["url"]] = c
+        m["new_seen"] = len(new)
+
+        # 4. per-host politeness budget over the WHOLE frontier, total order
+        by_host: dict[str, list[dict]] = {}
+        for c in res.frontier.values():
+            by_host.setdefault(c["host_key"], []).append(c)
+        scheduled = []
+        for hk, recs in by_host.items():
+            rb = robots.get(hk)
+            delay = rb["crawl_delay"] if rb else params.default_crawl_delay
+            budget = max(0, math.floor(params.round_seconds / delay))
+            recs.sort(key=order_key)
+            scheduled.extend(recs[:budget])
+        scheduled.sort(key=order_key)
+        for c in scheduled:
+            del res.frontier[c["url"]]
+            c["fetch_round"] = r
+        res.scheduled.append(scheduled)
+        m["scheduled"] = len(scheduled)
+        m["frontier_depth"] = len(res.frontier)
+
+        # 5. deterministic fetch-sim (md5-keyed; ccspark.fetchsim mirrors this)
+        candidates = []
+        fetched_pages = 0
+        for c in scheduled:
+            key = K.md5_key_one(c["url"])
+            status = 200 if key % 100 < 95 else 404
+            doc = docs_by_url.get(c["url"])
+            if status == 200 and doc is not None:
+                fetched_pages += 1
+                candidates.extend(extract_links_py(doc, params.follow_links))
+        m["pages_discovered"] = fetched_pages
+        res.metrics.append(m)
+
+    return res

@@ -1,0 +1,32 @@
+"""Crawl parameters shared by the Spark engine and the pure-Python oracle."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlParams:
+    """One scheduling-round configuration.
+
+    round_seconds / crawl_delay define the per-host politeness budget —
+    the per-host generalization (north_rule) of the reference's global
+    150 ms inter-fetch gate (ProcessingService.java:57,235-240):
+    budget(host) = floor(round_seconds / crawl_delay(host)).
+    """
+
+    rounds: int = 3
+    round_seconds: float = 60.0
+    default_crawl_delay: float = 0.15   # the reference's MIN_CALL_INTERVAL
+    follow_links: bool = True           # schedule non-media <a>/<link> hrefs as pages
+    num_salts: int = 8                  # hot-host salting fan-out (engine only)
+    seen_partitions: int = 256          # bloom/seen hash partitions (engine only)
+
+
+#: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.
+ORDER_COLUMNS = ("priority", "depth", "surt", "url")
+
+
+def order_key(rec: dict) -> tuple:
+    """Oracle-side sort key implementing the total order."""
+    return (-rec["priority"], rec["depth"], rec["surt"], rec["url"])

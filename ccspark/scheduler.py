@@ -1,0 +1,204 @@
+"""The crawl scheduler — round-based frontier loop (SURVEY.md §3.3).
+
+Spark restatement of the reference's CommonCrawlAnalyzer pipeline
+(CommonCrawlAnalyzer.java:96-139 + ProcessingService.java:176-252) and of
+its 500-file chunked sequential-job loop (AWSMediaExtractor.java:71-84),
+with one scheduling round =
+
+    candidates → canonicalize (Arrow UDFs) → robots admission →
+    first-wins dedup (batch window + bloom/exact seen anti-join) →
+    priority total order → per-host politeness budget (salted top-K) →
+    fetch-sim → discovery join → extract next candidates →
+    snapshot commits (seen Δ, bloom, frontier, scheduled, candidates)
+    + per-round metrics (frontier-depth, dedup-rate — north_rule)
+
+Every round is resumable: the round log records the table versions a
+completed round produced; resume rolls tables back to the last complete
+round and continues. Crawl ordering and the URL-seen set match
+ccspark.oracle exactly (tested per-round, rows AND order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from .extract import extract_links
+from .fetchsim import discovered_docs, with_fetch_sim
+from .params import CrawlParams
+from .politeness import order_cols, robots_admission_filter, schedule_frontier
+from .seen import SeenSet, with_bucket
+from .tables import SnapshotStore
+from .udfs import host_udf, normalize_udf, priority_udf, surt_udf
+
+CANDIDATE_SCHEMA = T.StructType([
+    T.StructField("url_raw", T.StringType()),
+    T.StructField("page_url", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("alt", T.StringType()),
+    T.StructField("parent_txt", T.StringType()),
+    T.StructField("dom_depth", T.IntegerType()),
+    T.StructField("dom_sib", T.IntegerType()),
+    T.StructField("src_doc_id", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+])
+
+FRONTIER_COLS = ["url", "url_hash", "bucket", "host", "host_key", "surt",
+                 "priority", "depth", "kind", "alt", "parent_txt",
+                 "dom_depth", "dom_sib", "src_doc_id", "offset"]
+
+
+def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
+    """Seed list → round-0 candidates (S4; MultithreadedAnalyzer.java:185-202)."""
+    return seeds.select(
+        F.col("url").alias("url_raw"),
+        F.lit("").alias("page_url"),
+        F.lit("seed").alias("kind"),
+        F.lit("").alias("alt"),
+        F.lit("").alias("parent_txt"),
+        F.lit(0).alias("dom_depth"),
+        F.lit(0).alias("dom_sib"),
+        F.lit("seed").alias("src_doc_id"),
+        F.lit(0).alias("offset"),
+    )
+
+
+def canonicalize(candidates: DataFrame, round_no: int) -> DataFrame:
+    """U1-U4 + U11: normalize (drop malformed), host, host_key, surt,
+    priority, depth. UDFs are the vectorized kernels; everything else JVM."""
+    return (candidates
+            .withColumn("url", normalize_udf("url_raw", "page_url"))
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", host_udf("url"))
+            .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+            # case-sensitive www-strip (ProcessingService.java:403-405), then
+            # lowercase for robots/politeness grouping
+            .withColumn("host_key",
+                        F.lower(F.regexp_replace("host", r"^www\.", "")))
+            .withColumn("surt", surt_udf("url"))
+            .withColumn("priority", priority_udf(
+                "url", "page_url", "kind", "alt", "parent_txt",
+                "dom_depth", "dom_sib"))
+            .withColumn("depth", F.lit(round_no)))
+
+
+def batch_dedup(candidates: DataFrame) -> DataFrame:
+    """First-wins dedup inside one round's batch (A3, MediaReduce.java:12-19
+    made deterministic): winner = best by total order, then lineage
+    (src_doc_id, offset)."""
+    w = Window.partitionBy("url").orderBy(
+        *order_cols(), F.col("src_doc_id").asc(), F.col("offset").asc())
+    return (candidates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, state_dir: str, documents_path: str,
+                 seeds_path: str, robots_path: str,
+                 params: CrawlParams = CrawlParams(), use_bloom: bool = True,
+                 bits_per_bucket: int = 1 << 20):
+        self.spark = spark
+        self.params = params
+        self.documents_path = documents_path
+        self.store = SnapshotStore(spark, state_dir)
+        self.seen = SeenSet(self.store, partitions=params.seen_partitions,
+                            use_bloom=use_bloom, bits_per_bucket=bits_per_bucket)
+        self.frontier_tbl = self.store.table("frontier")
+        self.scheduled_tbl = self.store.table("scheduled")
+        self.candidates_tbl = self.store.table("candidates")
+        self.seeds_path = seeds_path
+        self.robots = spark.read.parquet(robots_path)
+        self.docs = spark.read.parquet(documents_path)
+
+    # -- resumability --------------------------------------------------------
+
+    def resume_round(self) -> tuple[int, DataFrame | None]:
+        """(next_round, its candidates). Rolls back any table versions newer
+        than the last complete round (crash between commits)."""
+        last = self.store.last_round()
+        if last is None:
+            for t in (self.seen.seen_tbl, self.seen.bloom_tbl, self.frontier_tbl,
+                      self.scheduled_tbl, self.candidates_tbl):
+                t.rollback_to(0)
+            return 0, None
+        for name, tbl in [("seen", self.seen.seen_tbl), ("bloom", self.seen.bloom_tbl),
+                          ("frontier", self.frontier_tbl),
+                          ("scheduled", self.scheduled_tbl),
+                          ("candidates", self.candidates_tbl)]:
+            v = last["tables"].get(name)
+            if v is not None:
+                tbl.rollback_to(v)
+        nxt = last["round"] + 1
+        cand = self.candidates_tbl.read(last["tables"]["candidates"])
+        return nxt, cand
+
+    # -- one round -----------------------------------------------------------
+
+    def run_round(self, r: int, candidates: DataFrame) -> DataFrame:
+        p = self.params
+        candidates = candidates.cache()
+        m: dict = {"round": r, "candidates_in": candidates.count()}
+
+        canon = canonicalize(candidates, r).cache()
+        n_canon = canon.count()
+        m["malformed_dropped"] = m["candidates_in"] - n_canon
+
+        admitted = robots_admission_filter(canon, self.robots).cache()
+        n_adm = admitted.count()
+        m["robots_blocked"] = n_canon - n_adm
+
+        new = self.seen.filter_new(with_bucket(batch_dedup(admitted),
+                                               partitions=p.seen_partitions)).cache()
+        m["new_seen"] = new.count()
+        m["dup_dropped"] = n_adm - m["new_seen"]
+        m["dedup_rate"] = (m["dup_dropped"] / n_adm) if n_adm else 0.0
+
+        versions = self.seen.add(new, r)
+
+        new_frontier = new.select(*FRONTIER_COLS)
+        if self.frontier_tbl.exists():
+            frontier = self.frontier_tbl.read().unionByName(new_frontier)
+        else:
+            frontier = new_frontier
+        frontier = frontier.cache()
+
+        sched = schedule_frontier(frontier, self.robots, p).cache()
+        m["scheduled"] = sched.count()
+
+        remaining = frontier.join(sched.select("url"), "url", "left_anti")
+        versions["frontier"] = self.frontier_tbl.commit(
+            remaining, r, repartition=(min(p.seen_partitions, 32), "bucket"))
+        m["frontier_depth"] = frontier.count() - m["scheduled"]
+
+        fetched = with_fetch_sim(sched).withColumn("fetch_round", F.lit(r))
+        versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
+
+        hits = discovered_docs(self.scheduled_tbl.read(versions["scheduled"]),
+                               self.docs).cache()
+        m["pages_discovered"] = hits.count()
+        next_cand = extract_links(hits, follow_links=p.follow_links)
+        versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
+
+        self.store.commit_round(r, versions, m)
+        for df in (candidates, canon, admitted, new, frontier, sched, hits):
+            df.unpersist()
+        return self.candidates_tbl.read(versions["candidates"])
+
+    # -- full run --------------------------------------------------------------
+
+    def run(self, resume: bool = False) -> list[dict]:
+        start, cand = (self.resume_round() if resume else (0, None))
+        if cand is None:
+            if start != 0:
+                raise RuntimeError("resume requested but no candidates snapshot")
+            seeds = self.spark.read.parquet(self.seeds_path)
+            cand = seeds_to_candidates(seeds)
+        for r in range(start, self.params.rounds):
+            cand = self.run_round(r, cand)
+        return self.store.round_metrics()
+
+    # -- inspection -------------------------------------------------------------
+
+    def scheduled_rounds(self) -> DataFrame:
+        """All scheduled rows across committed rounds, in total order."""
+        return (self.scheduled_tbl.read_chain()
+                .orderBy(F.col("fetch_round").asc(), *order_cols()))

@@ -1,0 +1,165 @@
+"""Iceberg-semantics snapshot tables: partitioned parquet + JSON snapshot log.
+
+No Iceberg runtime jar is available in-sandbox (SURVEY.md §7.0), so this
+module provides the three Iceberg properties the north_rule exercises —
+snapshot isolation, time-travel to round k, and resumability — as
+partitioned parquet plus an explicit `_snapshots/v{N}.json` log carrying
+per-partition lineage (files), row counts, parent version, and metrics.
+The interface is deliberately narrow so a real Iceberg catalog can be
+dropped in behind it later.
+
+Replaces the reference's MongoDB persistence (MorphiaManager.java:19-34)
+and its 500-file chunked sequential-job checkpointing
+(AWSMediaExtractor.java:71-84).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.snap_dir = os.path.join(self.dir, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- snapshot log ------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.snap_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def meta(self, version: int) -> dict:
+        with open(os.path.join(self.snap_dir, f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    # -- commit / read -----------------------------------------------------
+
+    def commit(self, df: DataFrame, round_no: int, metrics: dict | None = None,
+               partition_by: list[str] | None = None,
+               repartition: tuple | None = None) -> int:
+        """Write df as the next snapshot version. The JSON manifest is
+        written only after the parquet write fully succeeds, so a crash
+        mid-write leaves the previous snapshot authoritative (the
+        resumability contract)."""
+        version = (self.latest_version() or 0) + 1
+        path = os.path.join(self.dir, f"v{version}")
+        w = df
+        if repartition is not None:
+            w = w.repartition(*repartition)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        files = []
+        for base, _, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(os.path.relpath(os.path.join(base, n), path))
+        manifest = {
+            "table": self.name,
+            "version": version,
+            "round": round_no,
+            "parent": self.latest_version(),
+            "path": path,
+            "files": sorted(files),
+            "num_files": len(files),
+            "metrics": metrics or {},
+            "committed_at": time.time(),
+        }
+        tmp = os.path.join(self.snap_dir, f".v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.rename(tmp, os.path.join(self.snap_dir, f"v{version}.json"))
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a snapshot (latest by default) — time travel via version."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots for table {self.name}")
+        return self.spark.read.parquet(os.path.join(self.dir, f"v{version}"))
+
+    def read_chain(self, version: int | None = None) -> DataFrame:
+        """Append-mode read: the UNION of snapshots v1..version. Used for
+        append-only tables (the seen set) so each round commits only its
+        delta instead of rewriting history — the Iceberg append analog."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots for table {self.name}")
+        paths = [os.path.join(self.dir, f"v{v}") for v in self.versions() if v <= version]
+        return self.spark.read.parquet(*paths)
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def rollback_to(self, version: int) -> None:
+        """Drop snapshots newer than `version` (crash-recovery helper)."""
+        for v in self.versions():
+            if v > version:
+                os.remove(os.path.join(self.snap_dir, f"v{v}.json"))
+                p = os.path.join(self.dir, f"v{v}")
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+
+
+class SnapshotStore:
+    """A directory of named snapshot tables + a round-level commit log.
+
+    The round log (`_rounds/r{k}.json`) records which table versions
+    belong to a completed scheduling round — the unit of resumability.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.rounds_dir = os.path.join(root, "_rounds")
+        os.makedirs(self.rounds_dir, exist_ok=True)
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def table(self, name: str) -> SnapshotTable:
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(self.spark, self.root, name)
+        return self._tables[name]
+
+    def commit_round(self, round_no: int, table_versions: dict[str, int],
+                     metrics: dict) -> None:
+        tmp = os.path.join(self.rounds_dir, f".r{round_no}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"round": round_no, "tables": table_versions,
+                       "metrics": metrics, "committed_at": time.time()}, fh, indent=1)
+        os.rename(tmp, os.path.join(self.rounds_dir, f"r{round_no}.json"))
+
+    def last_round(self) -> dict | None:
+        rounds = sorted(
+            int(f[1:-5]) for f in os.listdir(self.rounds_dir)
+            if f.startswith("r") and f.endswith(".json"))
+        if not rounds:
+            return None
+        with open(os.path.join(self.rounds_dir, f"r{rounds[-1]}.json")) as fh:
+            return json.load(fh)
+
+    def round_metrics(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.rounds_dir)):
+            if f.startswith("r") and f.endswith(".json"):
+                with open(os.path.join(self.rounds_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return [r["metrics"] for r in sorted(out, key=lambda r: r["round"])]

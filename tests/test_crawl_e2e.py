@@ -1,0 +1,146 @@
+"""End-to-end: the Spark engine must reproduce the pure-Python oracle's
+crawl ordering, URL-seen set, and per-round metrics EXACTLY (north_rule).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccspark.oracle import run_oracle
+from ccspark.params import CrawlParams
+from ccspark.scheduler import CrawlEngine
+
+PARAMS = CrawlParams(rounds=3)
+
+METRIC_KEYS = ["candidates_in", "malformed_dropped", "robots_blocked",
+               "dup_dropped", "new_seen", "scheduled", "frontier_depth",
+               "pages_discovered"]
+
+
+def _run_engine(spark, fx, tmp_path, name, **kw):
+    eng = CrawlEngine(spark, str(tmp_path / name), fx["documents"],
+                      fx["seeds"], fx["robots"], params=PARAMS, **kw)
+    metrics = eng.run()
+    return eng, metrics
+
+
+def _scheduled_lists(eng):
+    rows = (eng.scheduled_rounds()
+            .select("fetch_round", "url", "priority", "depth", "surt")
+            .collect())
+    out = {}
+    for r in rows:
+        out.setdefault(r.fetch_round, []).append((r.url, r.priority))
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle_small(fx_small):
+    return run_oracle(fx_small["documents"], fx_small["seeds"],
+                      fx_small["robots"], PARAMS)
+
+
+class TestEngineMatchesOracle:
+    @pytest.fixture(scope="class")
+    def engine(self, spark, fx_small, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("state")
+        return _run_engine(spark, fx_small, tmp, "exact", use_bloom=False)
+
+    def test_scheduled_ordering_exact(self, engine, oracle_small):
+        eng, _ = engine
+        got = _scheduled_lists(eng)
+        for r, want in enumerate(oracle_small.scheduled):
+            want_list = [(c["url"], c["priority"]) for c in want]
+            assert got.get(r, []) == want_list, f"round {r} ordering mismatch"
+
+    def test_seen_set_exact(self, engine, oracle_small):
+        eng, _ = engine
+        seen = {r.url: r.first_round for r in
+                eng.seen.seen_df().select("url", "first_round").collect()}
+        assert seen == oracle_small.seen
+
+    def test_metrics_match(self, engine, oracle_small):
+        _, metrics = engine
+        assert len(metrics) == len(oracle_small.metrics)
+        for got, want in zip(metrics, oracle_small.metrics):
+            for k in METRIC_KEYS:
+                assert got[k] == want[k], f"round {got['round']} metric {k}"
+
+    def test_frontier_leftover_matches(self, engine, oracle_small):
+        eng, _ = engine
+        left = {r.url for r in eng.frontier_tbl.read().select("url").collect()}
+        assert left == set(oracle_small.frontier)
+
+
+class TestBloomEquivalence:
+    def test_bloom_accelerated_run_identical(self, spark, fx_small, tmp_path,
+                                             oracle_small):
+        eng, metrics = _run_engine(spark, fx_small, tmp_path, "bloom",
+                                   use_bloom=True, bits_per_bucket=1 << 14)
+        got = _scheduled_lists(eng)
+        for r, want in enumerate(oracle_small.scheduled):
+            assert got.get(r, []) == [(c["url"], c["priority"]) for c in want]
+        seen = {r.url for r in eng.seen.seen_df().select("url").collect()}
+        assert seen == set(oracle_small.seen)
+
+
+class TestResume:
+    def test_resume_after_partial_run_is_byte_identical(self, spark, fx_small,
+                                                        tmp_path, oracle_small):
+        # full run in one go
+        full = CrawlEngine(spark, str(tmp_path / "full"), fx_small["documents"],
+                           fx_small["seeds"], fx_small["robots"], params=PARAMS)
+        full.run()
+
+        # interrupted run: 2 rounds, then a NEW engine resumes round 3
+        part = CrawlEngine(spark, str(tmp_path / "part"), fx_small["documents"],
+                           fx_small["seeds"], fx_small["robots"],
+                           params=CrawlParams(rounds=2))
+        part.run()
+        resumed = CrawlEngine(spark, str(tmp_path / "part"), fx_small["documents"],
+                              fx_small["seeds"], fx_small["robots"], params=PARAMS)
+        resumed.run(resume=True)
+
+        a = _scheduled_lists(full)
+        b = _scheduled_lists(resumed)
+        assert a == b
+        sa = {r.url for r in full.seen.seen_df().select("url").collect()}
+        sb = {r.url for r in resumed.seen.seen_df().select("url").collect()}
+        assert sa == sb == set(oracle_small.seen)
+
+    def test_resume_rolls_back_uncommitted_round(self, spark, fx_small, tmp_path):
+        eng = CrawlEngine(spark, str(tmp_path / "rb"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"],
+                          params=CrawlParams(rounds=2))
+        eng.run()
+        # simulate a crash mid-round-2: extra seen delta without a round commit
+        extra = spark.createDataFrame(
+            [("http://crash.example/x", 1, 1)],
+            "url string, url_hash long, bucket int")
+        eng.seen.add(extra.withColumn("url_hash", F.xxhash64("url")), 2)
+        resumed = CrawlEngine(spark, str(tmp_path / "rb"), fx_small["documents"],
+                              fx_small["seeds"], fx_small["robots"],
+                              params=CrawlParams(rounds=3))
+        resumed.run(resume=True)
+        seen = {r.url for r in resumed.seen.seen_df().select("url").collect()}
+        assert "http://crash.example/x" not in seen
+
+
+class TestSpanInvariant:
+    def test_span_sequence_preserved(self, spark, fx_small):
+        """input_hint: per-row span-sequence equality (kind, text,
+        media_ref, order) for every doc flowing through the engine."""
+        import pyarrow.parquet as pq
+        docs = spark.read.parquet(fx_small["documents"])
+        roundtrip = docs.select("doc_id", F.explode("spans").alias("sp")) \
+            .select("doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.offset") \
+            .collect()
+        got = {}
+        for r in roundtrip:
+            got.setdefault(r.doc_id, []).append((r.offset, r.kind, r.text, r.media_ref))
+        raw = pq.read_table(fx_small["documents"]).to_pylist()
+        for d in raw:
+            want = [(s["offset"], s["kind"], s["text"], s["media_ref"])
+                    for s in d["spans"]]
+            assert sorted(got[d["doc_id"]]) == sorted(want)
+            assert [s["offset"] for s in d["spans"]] == sorted(
+                s["offset"] for s in d["spans"]), "offsets strictly increasing"
