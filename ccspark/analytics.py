@@ -1,0 +1,490 @@
+"""Reference-parity analytics queries over the flat testdata tables.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (citations
+into /root/reference inline) as an idiomatic Catalyst plan, paired with a
+DuckDB oracle SQL string. The pair is the correctness contract the driver
+checks (CORRECTNESS_r{N}.json): identical column names, schema, and
+values.
+
+Cross-engine determinism rules used throughout (see tests/test_queries_oracle.py):
+- integer aggregates everywhere possible (counts, integer-valued double sums);
+- double outputs only from a fixed expression tree evaluated identically
+  by both engines (single divisions, no reassociated reductions), or
+  md5-derived integers via conv(hex,16,10) == ('0x'||hex)::BIGINT;
+- every computed column explicitly aliased to the same name on both sides;
+- regexes restricted to the RE2 ∩ Java-regex common subset (no lookahead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text tokenized on single spaces (X2, WordCounterMap.java:39-47)."""
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source",
+                    F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != ""))
+
+
+WORDS_SQL = ("SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word "
+             "FROM documents")
+WORDS_NONEMPTY = f"SELECT * FROM ({WORDS_SQL}) WHERE word <> ''"
+
+# tag regex without lookahead (RE2-safe twin of TagCounterMap.java:27):
+# first char of the tag name may not be '/', whitespace or '>'.
+TAG_RE = r"<([^\s>/][^\s>]*)[^>]*>"
+
+# ---------------------------------------------------------------------------
+# A1/X2 — word count (WETWordCount.java:40-75)
+# ---------------------------------------------------------------------------
+
+
+def q_word_count(spark, sf_dir):
+    return (words_df(spark, sf_dir)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_WORD_COUNT = (f"SELECT word, CAST(count(*) AS BIGINT) AS cnt "
+                  f"FROM ({WORDS_NONEMPTY}) GROUP BY word")
+
+# ---------------------------------------------------------------------------
+# A7/A9 — frequency-sorted top-K (Statistics.java:127-158, NgamFeatureSelection top-K)
+# ---------------------------------------------------------------------------
+
+
+def q_top_words(spark, sf_dir):
+    return (q_word_count(spark, sf_dir)
+            .orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(100))
+
+
+SQL_TOP_WORDS = f"SELECT * FROM ({SQL_WORD_COUNT}) ORDER BY cnt DESC, word ASC LIMIT 100"
+
+# ---------------------------------------------------------------------------
+# A8 — low-frequency pruning (NGramAnalyzer.java:46-60: count >= 100)
+# ---------------------------------------------------------------------------
+
+
+def q_word_count_min100(spark, sf_dir):
+    return q_word_count(spark, sf_dir).filter(F.col("cnt") >= 100)
+
+
+SQL_WORD_COUNT_MIN100 = f"SELECT * FROM ({SQL_WORD_COUNT}) WHERE cnt >= 100"
+
+# ---------------------------------------------------------------------------
+# X1/A1 — tag count (TagCounterMap.java:54-60 + WARCTagCounter reduce), on
+# HTML synthesized deterministically from the text column.
+# ---------------------------------------------------------------------------
+
+
+def q_tag_count(spark, sf_dir):
+    html = F.concat(F.lit("<"), F.regexp_replace("text", " ", "><"), F.lit(">"))
+    return (t(spark, sf_dir, "documents")
+            .select(F.explode(
+                F.regexp_extract_all(html, F.lit(TAG_RE), 1)).alias("tag"))
+            .select(F.lower("tag").alias("tag"))
+            .groupBy("tag").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_TAG_COUNT = (
+    "SELECT lower(tag) AS tag, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "  SELECT unnest(regexp_extract_all("
+    "    concat('<', replace(text, ' ', '><'), '>'), '" + TAG_RE + "', 1)) AS tag"
+    "  FROM documents) GROUP BY lower(tag)")
+
+# ---------------------------------------------------------------------------
+# X4/A1 — JSON field extraction + count (ServerTypeMap.java:37-47,
+# WATServerType.java:66-67): 'Server' header analog = props.k
+# ---------------------------------------------------------------------------
+
+
+def q_server_count(spark, sf_dir):
+    return (t(spark, sf_dir, "events")
+            .select(F.get_json_object("props", "$.k").alias("server"))
+            .filter(F.col("server").isNotNull())
+            .groupBy("server").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_SERVER_COUNT = (
+    "SELECT server, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "  SELECT json_extract_string(props, '$.k') AS server FROM events)"
+    " WHERE server IS NOT NULL GROUP BY server")
+
+# ---------------------------------------------------------------------------
+# A4/A5 — per-host frequency multisets (Statistics.java:62-95): two-key
+# distribution source × lang
+# ---------------------------------------------------------------------------
+
+
+def q_source_lang_freq(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_SOURCE_LANG_FREQ = ("SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt "
+                        "FROM documents GROUP BY source, lang")
+
+# ---------------------------------------------------------------------------
+# A3 — first-wins dedup by key, deterministic (MediaReduce.java:12-19; the
+# engine's batch_dedup twin on relational data)
+# ---------------------------------------------------------------------------
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber").asc())
+    return (t(spark, sf_dir, "lineitem")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("l_orderkey", "l_partkey", "l_quantity"))
+
+
+SQL_FIRST_WINS_DEDUP = (
+    "SELECT l_orderkey, l_partkey, l_quantity FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS _rn"
+    "  FROM lineitem) WHERE _rn = 1")
+
+# ---------------------------------------------------------------------------
+# A1/A2 — sum-by-key with partial aggregation (WARCTagCounter.java:45,63-67;
+# map-side combine = HashAggregate partial). Revenue kept exact via integer
+# cents: floor(x*100) is the same IEEE double op + truncation on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_sum_by_key(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+                 F.sum(cents).cast("bigint").alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+SQL_SUM_BY_KEY = (
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(sum(l_quantity) AS BIGINT) AS sum_qty,"
+    " CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    "   AS revenue_cents,"
+    " CAST(count(*) AS BIGINT) AS n_rows"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+# ---------------------------------------------------------------------------
+# A9 — top-K per key window (NgamFeatureSelection.java:124-141 per-class cut)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_per_key(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (t(spark, sf_dir, "orders")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+SQL_TOPK_PER_KEY = (
+    "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY o_custkey"
+    "    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders)"
+    " WHERE rank <= 3")
+
+# ---------------------------------------------------------------------------
+# A11 — deterministic class-balance sampling (ArffController.java:54-72 /
+# NGramAnalyzer.java:85-103 rewritten as the window-function version)
+# ---------------------------------------------------------------------------
+
+
+def q_class_balance(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    min_cnt = (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.min("c").alias("m")))
+    w = Window.partitionBy("lang").orderBy(F.col("doc_id").asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .crossJoin(F.broadcast(min_cnt))
+            .filter(F.col("_rn") <= F.col("m"))
+            .select("doc_id", "lang"))
+
+
+SQL_CLASS_BALANCE = (
+    "SELECT doc_id, lang FROM ("
+    "  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS _rn"
+    "  FROM documents),"
+    " (SELECT min(c) AS m FROM (SELECT count(*) AS c FROM documents GROUP BY lang))"
+    " WHERE _rn <= m")
+
+# ---------------------------------------------------------------------------
+# A10/J4 — discriminative n-gram scoring: big⋈small full-outer count join,
+# score = big−small if positive else 50/big (NgamFeatureSelection.java:144-203)
+# ---------------------------------------------------------------------------
+
+
+def q_discriminative_words(spark, sf_dir):
+    wdf = words_df(spark, sf_dir)
+    big = (wdf.filter(F.col("lang") == "en")
+           .groupBy("word").agg(F.count(F.lit(1)).alias("big_cnt")))
+    small = (wdf.filter(F.col("lang") != "en")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("small_cnt")))
+    j = big.join(small, "word", "full_outer")
+    bc = F.coalesce("big_cnt", F.lit(0))
+    sc = F.coalesce("small_cnt", F.lit(0))
+    score = (F.when(bc - sc > 0, bc - sc)
+             .when(bc > 0, F.floor(F.lit(50) / bc))
+             .otherwise(F.lit(0)))
+    return j.select("word", bc.cast("bigint").alias("big_cnt"),
+                    sc.cast("bigint").alias("small_cnt"),
+                    score.cast("bigint").alias("score"))
+
+
+SQL_DISCRIMINATIVE_WORDS = (
+    "WITH w AS (" + WORDS_NONEMPTY + "),"
+    " big AS (SELECT word, count(*) AS c FROM w WHERE lang = 'en' GROUP BY word),"
+    " small AS (SELECT word, count(*) AS c FROM w WHERE lang <> 'en' GROUP BY word)"
+    " SELECT coalesce(big.word, small.word) AS word,"
+    "  CAST(coalesce(big.c, 0) AS BIGINT) AS big_cnt,"
+    "  CAST(coalesce(small.c, 0) AS BIGINT) AS small_cnt,"
+    "  CAST(CASE WHEN coalesce(big.c, 0) - coalesce(small.c, 0) > 0"
+    "        THEN coalesce(big.c, 0) - coalesce(small.c, 0)"
+    "        WHEN coalesce(big.c, 0) > 0 THEN floor(50 / coalesce(big.c, 0))"
+    "        ELSE 0 END AS BIGINT) AS score"
+    " FROM big FULL OUTER JOIN small ON big.word = small.word")
+
+# ---------------------------------------------------------------------------
+# A12 — job counters (TagCounterMap.java:17-20 enum counters) as one
+# aggregate row of condition counts
+# ---------------------------------------------------------------------------
+
+
+def q_counters(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("records_in"),
+        F.sum(F.when(F.length("text") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("empty_text"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).cast("bigint")
+        .alias("non_en"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).cast("bigint")
+        .alias("short_docs"))
+
+
+SQL_COUNTERS = (
+    "SELECT CAST(count(*) AS BIGINT) AS records_in,"
+    " CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,"
+    " CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS non_en,"
+    " CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs"
+    " FROM documents")
+
+# ---------------------------------------------------------------------------
+# J1 — seen-set anti-join (the engine's central join; Statistics.UNIQUE_URLS
+# probe → left_anti): event users with no customer record
+# ---------------------------------------------------------------------------
+
+
+def q_seen_anti_join(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    return ev.join(cust, "user_id", "left_anti")
+
+
+SQL_SEEN_ANTI_JOIN = (
+    "SELECT DISTINCT user_id FROM events"
+    " WHERE user_id NOT IN (SELECT c_custkey FROM customer)")
+
+# ---------------------------------------------------------------------------
+# J5/F8 — broadcast semi-join membership (seed-host set, URLProcessor.java:60-70)
+# ---------------------------------------------------------------------------
+
+
+def q_region_members(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dims = F.broadcast(nat.join(F.broadcast(reg),
+                                nat.n_regionkey == reg.r_regionkey))
+    return (cust.join(dims, cust.c_nationkey == dims.n_nationkey, "left_semi")
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_REGION_MEMBERS = (
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer"
+    " WHERE c_nationkey IN ("
+    "   SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey"
+    "   WHERE r_name IN ('ASIA', 'EUROPE'))"
+    " GROUP BY c_mktsegment")
+
+# ---------------------------------------------------------------------------
+# J3 — broadcast vocabulary membership (2000-entry NGRAMS probe,
+# ScoreNgramArffCreator.java:93-102): tokens ∩ top-100 vocab
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_join(spark, sf_dir):
+    wdf = words_df(spark, sf_dir)
+    vocab = (wdf.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), F.col("word").asc()).limit(100)
+             .select("word"))
+    return (wdf.join(F.broadcast(vocab), "word", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("vocab_hits")))
+
+
+SQL_VOCAB_JOIN = (
+    "WITH w AS (" + WORDS_NONEMPTY + "),"
+    " vocab AS (SELECT word FROM (SELECT word, count(*) AS c FROM w GROUP BY word"
+    "           ORDER BY c DESC, word ASC LIMIT 100))"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS vocab_hits FROM w"
+    " WHERE word IN (SELECT word FROM vocab) GROUP BY doc_id")
+
+# ---------------------------------------------------------------------------
+# U1-U4 on synthesized URLs: host extraction + www-strip (regex twin of the
+# kernel path; the exact java.net.URL semantics are covered by the crawl
+# oracle tests). URL synthesized deterministically from part.
+# ---------------------------------------------------------------------------
+
+_URL_EXPR_SPARK = ("concat('http://', CASE WHEN p_partkey % 3 = 0 THEN 'www.' ELSE '' END, "
+                   "lower(replace(p_brand, '#', '')), '.com/', replace(p_name, ' ', '/'))")
+_URL_EXPR_DUCK = ("concat('http://', CASE WHEN p_partkey % 3 = 0 THEN 'www.' ELSE '' END, "
+                  "lower(replace(p_brand, '#', '')), '.com/', replace(p_name, ' ', '/'))")
+HOST_RE = r"^https?://([^/]+)"
+
+
+def q_url_hosts(spark, sf_dir):
+    p = t(spark, sf_dir, "part").withColumn("url", F.expr(_URL_EXPR_SPARK))
+    return (p.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
+            .withColumn("host_key", F.regexp_replace("host", r"^www\.", ""))
+            .groupBy("host_key").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_URL_HOSTS = (
+    "SELECT host_key, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    f"  SELECT regexp_replace(regexp_extract({_URL_EXPR_DUCK}, '{HOST_RE}', 1),"
+    "          '^www\\.', '') AS host_key FROM part)"
+    " GROUP BY host_key")
+
+# ---------------------------------------------------------------------------
+# F6 — media-URL predicate (MediaNodeVisitor.java:32-42,159-168) on
+# synthesized URLs with a deterministic extension mix
+# ---------------------------------------------------------------------------
+
+_EXTS = "CASE p_partkey % 6 WHEN 0 THEN '.jpg' WHEN 1 THEN '.png' WHEN 2 THEN '.html'" \
+        " WHEN 3 THEN '.mp4' WHEN 4 THEN '.txt' ELSE '.gif' END"
+_MEDIA_URL_SPARK = f"concat('http://m.example.com/', replace(p_name, ' ', '_'), {_EXTS})"
+# full-match anchored suffix predicate — RE2 ∩ Java subset
+MEDIA_SUFFIX_ANCHORED = (r"^(?i).*\.(jpg|jpeg|png|gif|bmp|3gp|avi|flv|m4v|mov|mpg"
+                         r"|mp4|mpeg|swf|wmv)$")
+
+
+def q_media_url_filter(spark, sf_dir):
+    p = t(spark, sf_dir, "part").withColumn("url", F.expr(_MEDIA_URL_SPARK))
+    return (p.filter(F.col("url").rlike(MEDIA_SUFFIX_ANCHORED))
+            .select("p_partkey", "url"))
+
+
+SQL_MEDIA_URL_FILTER = (
+    "SELECT p_partkey, url FROM ("
+    f"  SELECT p_partkey, {_MEDIA_URL_SPARK} AS url FROM part)"
+    f" WHERE regexp_matches(url, '{MEDIA_SUFFIX_ANCHORED}')")
+
+# ---------------------------------------------------------------------------
+# S8/U10 — deterministic fetch-sim outcomes (ccspark.fetchsim twin) over
+# synthesized URLs; md5-keyed, cross-engine identical
+# ---------------------------------------------------------------------------
+
+
+def q_fetch_sim(spark, sf_dir):
+    p = t(spark, sf_dir, "part").withColumn("url", F.expr(_MEDIA_URL_SPARK))
+    key = F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
+    return (p.withColumn("fetch_key", key)
+            .select("url", "fetch_key",
+                    F.when(F.col("fetch_key") % 100 < 95, 200).otherwise(404)
+                    .cast("bigint").alias("status"),
+                    (F.col("fetch_key") % 100000 + 1000).cast("bigint")
+                    .alias("content_length")))
+
+
+SQL_FETCH_SIM = (
+    "SELECT url, fetch_key,"
+    " CAST(CASE WHEN fetch_key % 100 < 95 THEN 200 ELSE 404 END AS BIGINT) AS status,"
+    " CAST(fetch_key % 100000 + 1000 AS BIGINT) AS content_length"
+    " FROM (SELECT url, ('0x' || substr(md5(url), 1, 15))::BIGINT AS fetch_key"
+    f"       FROM (SELECT {_MEDIA_URL_SPARK} AS url FROM part))")
+
+# ---------------------------------------------------------------------------
+# U8 — per-host politeness budget window (the scheduler's top-budget-per-host
+# selection, relational twin): budget(nation) rows per nation by acctbal
+# ---------------------------------------------------------------------------
+
+
+def q_politeness_budget(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    budget = (F.floor(F.lit(60.0) / (F.lit(1.0) + (F.col("c_nationkey") % 5)))
+              .cast("bigint"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (cust.withColumn("budget", budget)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("budget"))
+            .select("c_nationkey", "c_custkey", "c_acctbal"))
+
+
+SQL_POLITENESS_BUDGET = (
+    "SELECT c_nationkey, c_custkey, c_acctbal FROM ("
+    "  SELECT *, CAST(floor(60.0 / (1.0 + (c_nationkey % 5))) AS BIGINT) AS budget,"
+    "   row_number() OVER (PARTITION BY c_nationkey"
+    "     ORDER BY c_acctbal DESC, c_custkey ASC) AS _rn"
+    "  FROM customer) WHERE _rn <= budget")
+
+# ---------------------------------------------------------------------------
+# events daily rollup — time-bucketed aggregation (metrics-table shape the
+# round loop persists; value kept exact via floor-to-cents)
+# ---------------------------------------------------------------------------
+
+
+def q_events_daily(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.col("event_type"),
+                       F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.floor(F.col("value") * 100)).cast("bigint")
+                 .alias("value_cents")))
+
+
+SQL_EVENTS_DAILY = (
+    "SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt,"
+    " CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents"
+    " FROM events GROUP BY event_type, CAST(ts AS DATE)")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REG: dict[str, tuple] = {
+    "word_count": (q_word_count, SQL_WORD_COUNT),
+    "top_words": (q_top_words, SQL_TOP_WORDS),
+    "word_count_min100": (q_word_count_min100, SQL_WORD_COUNT_MIN100),
+    "tag_count": (q_tag_count, SQL_TAG_COUNT),
+    "server_count": (q_server_count, SQL_SERVER_COUNT),
+    "source_lang_freq": (q_source_lang_freq, SQL_SOURCE_LANG_FREQ),
+    "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
+    "sum_by_key": (q_sum_by_key, SQL_SUM_BY_KEY),
+    "topk_per_key": (q_topk_per_key, SQL_TOPK_PER_KEY),
+    "class_balance": (q_class_balance, SQL_CLASS_BALANCE),
+    "discriminative_words": (q_discriminative_words, SQL_DISCRIMINATIVE_WORDS),
+    "counters": (q_counters, SQL_COUNTERS),
+    "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
+    "region_members": (q_region_members, SQL_REGION_MEMBERS),
+    "vocab_join": (q_vocab_join, SQL_VOCAB_JOIN),
+    "url_hosts": (q_url_hosts, SQL_URL_HOSTS),
+    "media_url_filter": (q_media_url_filter, SQL_MEDIA_URL_FILTER),
+    "fetch_sim": (q_fetch_sim, SQL_FETCH_SIM),
+    "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+}

@@ -1,0 +1,280 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five dedup families over the `documents` / `embeddings` tables, each an
+idiomatic Catalyst plan (JVM-side expressions only — zero Python UDFs in
+this module) paired with a DuckDB oracle:
+
+- exact:        md5 content hash → first-wins group (hash-groupBy)
+- minhash LSH:  3-word shingles → per-band min-hash → band-bucket
+                self-join → candidate pairs verified with exact Jaccard
+- simhash:      16-bit weighted sign-sum fingerprint → bucket clustering
+- ngram Jaccard: exact pairwise 3-shingle Jaccard on a bounded window
+- embedding:    cosine near-dup pairs (see ccspark.similarity for ANN)
+
+Cross-engine exactness: every hash is md5-derived; min-hash signatures
+stay HEX STRINGS (fixed-length hex min == numeric min, portable across
+engines); Jaccard = one int/int division (single IEEE op). The
+reference's dedup ancestor is first-wins-by-key (MediaReduce.java:12-19)
+and the bloom URL-seen intent (Statistics.java:21-51); MinHash/SimHash
+extend that to near-duplicate semantics at 100 TB scale where the
+band-bucket join shuffles only (band, signature) keys, never pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .analytics import t
+
+N_BANDS = 8          # LSH bands, one hash row per band (r=1)
+SHINGLE_W = 3        # words per shingle
+SIMHASH_BITS = 16
+
+# ---------------------------------------------------------------------------
+# shared shingle plan
+# ---------------------------------------------------------------------------
+
+# tokens without empties, 0-based Spark / 1-based DuckDB indexing handled
+# per engine; shingle = 3 consecutive words joined by ' '.
+_SHINGLES_SPARK = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    " transform(sequence(0, size(toks) - 3),"
+    "   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    " ELSE array() END"
+)
+_SHINGLES_DUCK = (
+    "list_transform(generate_series(1, len(toks) - 2),"
+    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+)
+
+
+def shingles_df(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    """(doc_id, shingle) distinct — the dedup unit (n-gram shingling)."""
+    d = t(spark, sf_dir, "documents")
+    if max_doc is not None:
+        d = d.filter(F.col("doc_id") < max_doc)
+    return (d.withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
+            .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+            .distinct())
+
+
+def _shingles_sql(where: str = "") -> str:
+    return (
+        "SELECT DISTINCT doc_id, unnest(" + _SHINGLES_DUCK + ") AS shingle FROM ("
+        "  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks"
+        f"  FROM documents {where})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash-groupBy first-wins
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .select(F.md5("text").alias("content_hash"), "doc_id")
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keep_doc"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc,"
+    " CAST(count(*) AS BIGINT) AS n_copies"
+    " FROM documents GROUP BY md5(text)")
+
+# ---------------------------------------------------------------------------
+# MinHash signatures — per (doc, band) min of md5(band|shingle); hex-string
+# min is numeric min (fixed-length lowercase hex)
+# ---------------------------------------------------------------------------
+
+
+def minhash_df(spark, sf_dir, max_doc: int | None = None) -> DataFrame:
+    sh = shingles_df(spark, sf_dir, max_doc)
+    banded = sh.select(
+        "doc_id", "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
+    h = F.substring(F.md5(F.concat_ws("|", F.col("band"), F.col("shingle"))), 1, 15)
+    return (banded.withColumn("h", h)
+            .groupBy("doc_id", "band").agg(F.min("h").alias("minhash")))
+
+
+def _minhash_sql(where: str = "") -> str:
+    return (
+        "SELECT doc_id, band, min(h) AS minhash FROM ("
+        "  SELECT doc_id, band,"
+        "   substr(md5(concat(band, '|', shingle)), 1, 15) AS h"
+        "  FROM (" + _shingles_sql(where) + ") s,"
+        f"       (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b)"
+        " GROUP BY doc_id, band")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return (minhash_df(spark, sf_dir)
+            .select("doc_id", F.col("band").cast("bigint").alias("band"), "minhash"))
+
+
+SQL_MINHASH_SIGNATURES = (
+    "SELECT doc_id, CAST(band AS BIGINT) AS band, minhash FROM ("
+    + _minhash_sql() + ")")
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs: docs sharing any (band, minhash) bucket,
+# verified with exact shingle Jaccard. The scale path: the self-join keys
+# are (band, minhash) — cardinality O(docs × bands), never O(docs²).
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    mh = minhash_df(spark, sf_dir)
+    a, b = mh.alias("a"), mh.alias("b")
+    pairs = (a.join(b, ["band", "minhash"])
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sh = shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    return (pairs
+            .join(inter, ["doc_a", "doc_b"], "left")
+            .withColumn("inter", F.coalesce("inter", F.lit(0)))
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "n_b"), "doc_b")
+            .select("doc_a", "doc_b", "inter", "n_a", "n_b",
+                    F.round(F.col("inter") /
+                            (F.col("n_a") + F.col("n_b") - F.col("inter")), 6)
+                    .alias("jaccard")))
+
+
+SQL_DEDUP_MINHASH_LSH = (
+    "WITH mh AS (" + _minhash_sql() + "),"
+    " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+    "   FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash"
+    "   WHERE a.doc_id < b.doc_id),"
+    " sh AS (" + _shingles_sql() + "),"
+    " sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter"
+    "   FROM pairs p JOIN sh x ON x.doc_id = p.doc_a"
+    "   JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle"
+    "   GROUP BY p.doc_a, p.doc_b)"
+    " SELECT p.doc_a, p.doc_b, coalesce(i.inter, 0) AS inter,"
+    "  sa.n AS n_a, sb.n AS n_b,"
+    "  round(coalesce(i.inter, 0) / (sa.n + sb.n - coalesce(i.inter, 0)), 6) AS jaccard"
+    " FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b"
+    " JOIN sizes sa ON sa.doc_id = p.doc_a"
+    " JOIN sizes sb ON sb.doc_id = p.doc_b")
+
+# ---------------------------------------------------------------------------
+# SimHash — 16-bit fingerprint: bit_j set iff sum over tokens of
+# count × (2·bit_j(hash16(token)) − 1) > 0. hash16 = first 4 md5 hex digits.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark, sf_dir):
+    wc = (t(spark, sf_dir, "documents")
+          .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+          .withColumn("v", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10)
+                      .cast("int")))
+    aggs = [
+        F.sum(F.col("c") * (F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)) * 2 - 1))
+        .alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = wc.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(c * (((v >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(SIMHASH_BITS))
+    combine = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return (
+        "SELECT doc_id, CAST(" + combine + " AS BIGINT) AS simhash FROM ("
+        f" SELECT doc_id, {sums} FROM ("
+        "   SELECT doc_id, word, count(*) AS c,"
+        "    ('0x' || substr(md5(word), 1, 4))::INT AS v"
+        "   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)"
+        "   WHERE word <> '' GROUP BY doc_id, word)"
+        " GROUP BY doc_id)")
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_simhash_clusters(spark, sf_dir):
+    """SimHash bucket histogram — collision clusters are near-dup candidates."""
+    return (q_dedup_simhash(spark, sf_dir)
+            .groupBy("simhash").agg(F.count(F.lit(1)).alias("cluster_size"))
+            .filter(F.col("cluster_size") > 1))
+
+
+SQL_SIMHASH_CLUSTERS = (
+    "SELECT simhash, CAST(count(*) AS BIGINT) AS cluster_size FROM ("
+    + _simhash_sql() + ") GROUP BY simhash HAVING count(*) > 1")
+
+# ---------------------------------------------------------------------------
+# exact pairwise n-gram Jaccard on a bounded window (doc_id < 50) — the
+# correctness yardstick the LSH path approximates
+# ---------------------------------------------------------------------------
+
+_JACC_MAX_DOC = 50
+
+
+def q_ngram_jaccard_topk(spark, sf_dir):
+    sh = shingles_df(spark, sf_dir, _JACC_MAX_DOC)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "n_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter") /
+                                (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+            .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(),
+                     F.col("doc_b").asc())
+            .limit(20)
+            .select("doc_a", "doc_b", "inter", "jaccard"))
+
+
+SQL_NGRAM_JACCARD_TOPK = (
+    "WITH sh AS (" + _shingles_sql(f"WHERE doc_id < {_JACC_MAX_DOC}") + "),"
+    " sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    "   CAST(count(*) AS BIGINT) AS inter"
+    "   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+    "   GROUP BY a.doc_id, b.doc_id)"
+    " SELECT doc_a, doc_b, inter,"
+    "  round(inter / (sa.n + sb.n - inter), 6) AS jaccard"
+    " FROM inter JOIN sizes sa ON sa.doc_id = doc_a"
+    " JOIN sizes sb ON sb.doc_id = doc_b"
+    " ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20")
+
+
+REG: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "simhash_clusters": (q_simhash_clusters, SQL_SIMHASH_CLUSTERS),
+    "ngram_jaccard_topk": (q_ngram_jaccard_topk, SQL_NGRAM_JACCARD_TOPK),
+}

@@ -36,7 +36,11 @@ def robots_admission_filter(candidates: DataFrame, robots: DataFrame) -> DataFra
     join on the same key the frontier is already partitioned by)."""
     rb = robots.select(F.col("host").alias("host_key"), "disallow")
     joined = candidates.join(rb, "host_key", "left")
-    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    # path per kernels.split_url: after the authority, up to '?'/'#'.
+    # (NOT F.parse_url — its java.net.URI backend throws on URLs the
+    # reference's java.net.URL semantics accept.)
+    path = F.regexp_extract(
+        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     blocked = F.exists("disallow", lambda p: path.startswith(p))
     return (joined
             .filter(~F.coalesce(blocked, F.lit(False)))

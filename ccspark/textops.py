@@ -1,0 +1,214 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting, char n-grams.
+
+All hot-path logic is JVM-side expressions except the char-n-gram UDTF
+(X5 — Lucene NGramTokenizer port, ScoreNgramArffCreator.java:104-138),
+which is a vectorized Arrow UDF sharing ccspark.kernels with the crawl
+engine. Every query has a DuckDB oracle; double outputs come from fixed
+expression trees (single divisions / identical op order on both engines).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from .analytics import t
+
+# tiny deterministic per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic. (The synthetic corpus shares one vocabulary across
+# its lang labels, so the heuristic's value here is determinism, not recall.)
+STOP_EN = ["the", "a", "and", "of", "to", "in", "is"]
+STOP_ES = ["el", "la", "de", "y", "que", "en", "un"]
+STOP_DE = ["der", "die", "das", "und", "ist", "ein", "zu"]
+
+_BPE_RE = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stop_hits(col, words: list[str]):
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return F.expr(
+        f"size(filter(split({col}, ' '), x -> array_contains({arr}, x)))")
+
+
+def _duck_stop_hits(col: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (f"len(list_filter(string_split({col}, ' '),"
+            f" x -> list_contains({arr}, x)))")
+
+
+# ---------------------------------------------------------------------------
+# language ID — stopword-profile scores + deterministic argmax
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    en, es, de = (_stop_hits("text", s) for s in (STOP_EN, STOP_ES, STOP_DE))
+    d = (d.withColumn("en_hits", en.cast("bigint"))
+         .withColumn("es_hits", es.cast("bigint"))
+         .withColumn("de_hits", de.cast("bigint")))
+    best = F.greatest("en_hits", "es_hits", "de_hits")
+    pred = (F.when(best == 0, "unknown")
+            .when(F.col("en_hits") == best, "en")     # ties resolve en > es > de
+            .when(F.col("es_hits") == best, "es")
+            .otherwise("de"))
+    return d.select("doc_id", "lang", "en_hits", "es_hits", "de_hits",
+                    pred.alias("pred_lang"))
+
+
+SQL_LANG_ID = (
+    "SELECT doc_id, lang, en_hits, es_hits, de_hits,"
+    " CASE WHEN greatest(en_hits, es_hits, de_hits) = 0 THEN 'unknown'"
+    "  WHEN en_hits = greatest(en_hits, es_hits, de_hits) THEN 'en'"
+    "  WHEN es_hits = greatest(en_hits, es_hits, de_hits) THEN 'es'"
+    "  ELSE 'de' END AS pred_lang"
+    " FROM (SELECT doc_id, lang,"
+    f"  CAST({_duck_stop_hits('text', STOP_EN)} AS BIGINT) AS en_hits,"
+    f"  CAST({_duck_stop_hits('text', STOP_ES)} AS BIGINT) AS es_hits,"
+    f"  CAST({_duck_stop_hits('text', STOP_DE)} AS BIGINT) AS de_hits"
+    "  FROM documents)")
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / punctuation / stopword / uniqueness ratios
+# ---------------------------------------------------------------------------
+
+
+def q_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    d = (d.withColumn("n_tokens", F.size(toks).cast("bigint"))
+         .withColumn("n_unique", F.size(F.array_distinct(toks)).cast("bigint"))
+         .withColumn("stop_hits", _stop_hits("text", STOP_EN).cast("bigint"))
+         .withColumn("n_punct", (F.length("text") -
+                                 F.length(F.regexp_replace("text", r"[^\w\s]", "")))
+                     .cast("bigint")))
+    nt = F.col("n_tokens").cast("double")
+    return (d.filter(F.col("n_tokens") > 0)
+            .select("doc_id", "n_tokens", "n_unique", "stop_hits", "n_punct",
+                    F.round(F.col("n_unique") / nt, 6).alias("uniq_ratio"),
+                    F.round(F.col("stop_hits") / nt, 6).alias("stop_ratio"),
+                    F.round(F.length("text").cast("double") / nt, 6)
+                    .alias("avg_token_len")))
+
+
+SQL_QUALITY_SCORE = (
+    "SELECT doc_id, n_tokens, n_unique, stop_hits, n_punct,"
+    " round(n_unique / CAST(n_tokens AS DOUBLE), 6) AS uniq_ratio,"
+    " round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,"
+    " round(CAST(length(text) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"
+    "   AS avg_token_len"
+    " FROM (SELECT doc_id, text,"
+    "  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)"
+    "    AS n_tokens,"
+    "  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))"
+    "    AS BIGINT) AS n_unique,"
+    f"  CAST({_duck_stop_hits('text', STOP_EN)} AS BIGINT) AS stop_hits,"
+    "  CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))"
+    "    AS BIGINT) AS n_punct"
+    "  FROM documents) WHERE n_tokens > 0")
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace + BPE-ish regex tokenizers
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.expr("size(filter(split(text, ' '), x -> x <> ''))")
+    # function API, not F.expr: SQL string literals would eat the \s
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return d.select("doc_id", ws.cast("bigint").alias("ws_tokens"),
+                    bpe.cast("bigint").alias("bpe_tokens"))
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id,"
+    " CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)"
+    "   AS ws_tokens,"
+    f" CAST(len(regexp_extract_all(text, '{_BPE_RE}', 0)) AS BIGINT) AS bpe_tokens"
+    " FROM documents")
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — winnowing-style: the 4 smallest shingle hashes,
+# joined into one fingerprint string (hex min == numeric min)
+# ---------------------------------------------------------------------------
+
+_FP_K = 4
+_FP_SHINGLES_SPARK = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    " transform(sequence(0, size(toks) - 3),"
+    "   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    " ELSE array() END")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
+         .select("doc_id", F.explode(F.expr(_FP_SHINGLES_SPARK)).alias("sh"))
+         .distinct()
+         .withColumn("h", F.substring(F.md5("sh"), 1, 12)))
+    # orderless collect then sort → deterministic min-4 concat
+    return (d.groupBy("doc_id")
+            .agg(F.array_join(F.slice(F.array_sort(F.collect_list("h")), 1, _FP_K), "-")
+                 .alias("fingerprint")))
+
+
+SQL_DOC_FINGERPRINT = (
+    "SELECT doc_id, string_agg(h, '-' ORDER BY h) AS fingerprint FROM ("
+    "  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn"
+    "  FROM (SELECT DISTINCT doc_id, substr(md5(sh), 1, 12) AS h FROM ("
+    "    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),"
+    "      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh"
+    "    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')"
+    "          AS toks FROM documents))))"
+    f" WHERE rn <= {_FP_K} GROUP BY doc_id")
+
+# ---------------------------------------------------------------------------
+# X5 — char n-grams (vectorized Arrow UDF vs SQL substring generation):
+# sizes 3..5 over lowercase word tokens of the first 100 docs
+# ---------------------------------------------------------------------------
+
+_NG_MIN, _NG_MAX, _NG_MAX_DOC = 3, 5, 100
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _char_ngrams_udf(words: pd.Series) -> pd.Series:
+    def one(w):
+        w = (w or "").lower()
+        out = []
+        for size in range(_NG_MIN, min(_NG_MAX, len(w)) + 1):
+            for i in range(len(w) - size + 1):
+                out.append(w[i:i + size])
+        return out
+    return words.map(one)
+
+
+def q_char_ngrams(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < _NG_MAX_DOC)
+         .select(F.explode(F.split("text", " ")).alias("word"))
+         .filter(F.col("word") != ""))
+    return (d.select(F.explode(_char_ngrams_udf("word")).alias("ngram"))
+            .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_CHAR_NGRAMS = (
+    "SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "  SELECT unnest(flatten(list_transform("
+    f"    generate_series({_NG_MIN}, {_NG_MAX}), size ->"
+    "     list_transform(generate_series(1, greatest(len(word) - size + 1, 0)),"
+    "       i -> substr(word, i, size))))) AS ngram"
+    "  FROM (SELECT lower(unnest(string_split(text, ' '))) AS word FROM documents"
+    f"        WHERE doc_id < {_NG_MAX_DOC})"
+    "  WHERE word <> '')"
+    " GROUP BY ngram")
+
+
+REG: dict[str, tuple] = {
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "char_ngrams": (q_char_ngrams, SQL_CHAR_NGRAMS),
+}
