@@ -48,6 +48,11 @@ def get_spark(app_name: str = "ccspark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size balances two measured effects: bigger batches
+        # cut JVM↔Python socket round-trips (expensive under syscall-
+        # intercepting sandboxes), smaller ones keep the chained-UDF
+        # pipeline fed. 32k was fastest in the batch-size sweep (BENCH.md).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CCSPARK_DRIVER_MEM", "16g"))

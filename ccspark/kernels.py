@@ -73,6 +73,8 @@ SPARK_VIDEO_RE = spark_fullmatch_re([VIDEO_SUFFIX_RE] + VIDEO_PLATFORM_RES)
 
 # FeaturesArffCreator.java:159
 _DIMS_RE = re.compile(r"(\d+x\d+)+|(w|h|s)_?\d+|\d+px|(width|height|w|h)=\d+|_\d+\.")
+# same pattern, non-capturing — for the vectorized contains() prefilter
+_DIMS_RE_NC = re.compile(r"(?:\d+x\d+)+|(?:w|h|s)_?\d+|\d+px|(?:width|height|w|h)=\d+|_\d+\.")
 _NON_DIGIT = re.compile(r"[^\d]")
 
 # --------------------------------------------------------------------------
@@ -163,6 +165,47 @@ def strip_whitespace(s: pd.Series) -> pd.Series:
     return s.fillna("").str.replace(r"\s", "", regex=True)
 
 
+# Fast-path twin of split_url for ABSOLUTE urls: one compiled regex per
+# row beats chained pandas .str passes ~10× (each .str op is a full
+# series allocation). group1 = authority (None when no '//'), group2 =
+# everything after. Equivalence with split_url (the spec) is pinned by
+# tests/test_kernels.py::TestVectorizedDecompose.
+_FAST_RE = re.compile(r"^[^:]*:(?://([^/?#]*))?(.*)$", re.DOTALL)
+
+
+def _fast_host(u) -> str | None:
+    if not isinstance(u, str) or not _ABS_RE.match(u):
+        return None
+    m = _FAST_RE.match(u)
+    a = m.group(1)
+    if a is None:
+        return ""
+    a = a.rsplit("@", 1)[-1]
+    i = a.find(":")
+    return a[:i] if i >= 0 else a
+
+
+def _fast_path_query(u) -> tuple[str, str]:
+    rest = _FAST_RE.match(u).group(2)
+    i = rest.find("#")
+    if i >= 0:
+        rest = rest[:i]
+    i = rest.find("?")
+    if i >= 0:
+        return rest[:i], rest[i + 1:]
+    return rest, ""
+
+
+def _decompose(urls: pd.Series) -> pd.DataFrame:
+    """split_url over a series (absolute rows only; NaN elsewhere)."""
+    host = urls.map(_fast_host)
+    pq = [(None, None) if h is None else _fast_path_query(u)
+          for u, h in zip(urls, host)]
+    return pd.DataFrame({"host": host,
+                         "path": [p for p, _ in pq],
+                         "query": [q for _, q in pq]}, index=urls.index)
+
+
 def normalize_series(src: pd.Series, page: pd.Series) -> pd.Series:
     """Vectorized normalize: absolutes pass through (the common, fast path);
     relatives run the exact reconstruction per element within the batch."""
@@ -178,14 +221,7 @@ def normalize_series(src: pd.Series, page: pd.Series) -> pd.Series:
 
 def hosts_of(urls: pd.Series) -> pd.Series:
     """java.net.URL#getHost for absolute URLs; None otherwise."""
-    def one(u):
-        if not isinstance(u, str) or not _ABS_RE.match(u):
-            return None
-        try:
-            return split_url(u)[1]
-        except ValueError:
-            return None
-    return urls.map(one)
+    return urls.map(_fast_host)
 
 
 def strip_www(hosts: pd.Series) -> pd.Series:
@@ -194,14 +230,8 @@ def strip_www(hosts: pd.Series) -> pd.Series:
 
 
 def paths_of(urls: pd.Series) -> pd.Series:
-    def one(u):
-        if not isinstance(u, str) or not _ABS_RE.match(u):
-            return None
-        try:
-            return split_url(u)[2]
-        except ValueError:
-            return None
-    return urls.map(one)
+    return urls.map(
+        lambda u: None if _fast_host(u) is None else _fast_path_query(u)[0])
 
 
 def surt_one(url: str) -> str | None:
@@ -222,8 +252,21 @@ def surt_one(url: str) -> str | None:
     return key
 
 
+def _fast_surt(u) -> str | None:
+    h = _fast_host(u)
+    if h is None:
+        return None
+    path, query = _fast_path_query(u)
+    h = h.lower()
+    if h.startswith("www."):
+        h = h[4:]
+    key = ",".join(reversed(h.split("."))) + ")" + path
+    return key + "?" + query if query else key
+
+
 def surt_series(urls: pd.Series) -> pd.Series:
-    return urls.map(surt_one)
+    """surt_one over a series via the compiled fast path."""
+    return urls.map(_fast_surt)
 
 
 def is_media_series(urls: pd.Series) -> pd.Series:
@@ -327,31 +370,40 @@ def feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
     n = len(pdf)
     f = np.zeros((n, 23), dtype=np.float64)
     url = pdf["url"].fillna("")
-    # getImageName / getSuffix (FeaturesArffCreator.java:188-194)
-    name = url.str.rsplit("/", n=1).str[-1]
-    suffix = name.str.rsplit(".", n=1).str[-1]
+    # getImageName / getSuffix (FeaturesArffCreator.java:188-194) — one
+    # python pass beats two pandas rsplit passes
+    suffix = url.map(lambda u: u.rsplit("/", 1)[-1].rsplit(".", 1)[-1])
     for j, sfx in enumerate(["jpeg", "png", "bmp", "gif", "tiff"]):
         f[:, j] = (suffix == sfx).to_numpy(dtype=np.float64)
     f[:, 5] = pdf["dom_depth"].fillna(0).to_numpy(dtype=np.float64)
     f[:, 6] = pdf["dom_sib"].fillna(0).to_numpy(dtype=np.float64)
-    dims = np.array([extract_dims_one(u) for u in url], dtype=np.float64)
+    # the per-row dims loop only runs where the dims regex can match at all
+    dims = np.zeros((n, 2), dtype=np.float64)
+    has_dims = url.str.contains(_DIMS_RE_NC).to_numpy()
+    if has_dims.any():
+        dims[has_dims] = [extract_dims_one(u)
+                          for u in url.to_numpy()[has_dims]]
     f[:, 7] = dims[:, 0] > 0
     f[:, 8] = dims[:, 0]
     f[:, 9] = dims[:, 1] > 0
     f[:, 10] = dims[:, 1]
-    im_host = hosts_of(url).fillna("").str.lower()
-    pg_host = hosts_of(pdf["page_url"].fillna("")).fillna("").str.lower()
+
+    def _lhost(u):
+        h = _fast_host(u)
+        return h.lower() if h else ""
+    im_host = url.map(_lhost)
+    pg_host = pdf["page_url"].fillna("").map(_lhost)
     f[:, 11] = ((im_host != "") & (im_host == pg_host)).to_numpy(dtype=np.float64)
     kind = pdf["kind"].fillna("")
     for j, el in enumerate(["img", "link", "a", "embed", "iframe", "object"]):
         f[:, 12 + j] = (kind == el).to_numpy(dtype=np.float64)
     alt = pdf["alt"].fillna("")
     f[:, 18] = (alt != "").to_numpy(dtype=np.float64)
-    f[:, 19] = alt.str.len().to_numpy(dtype=np.float64)
+    f[:, 19] = alt.map(len).to_numpy(dtype=np.float64)
     par = pdf["parent_txt"].fillna("")
     f[:, 20] = (par != "").to_numpy(dtype=np.float64)
-    f[:, 21] = par.str.len().to_numpy(dtype=np.float64)
-    f[:, 22] = url.str.len().to_numpy(dtype=np.float64)
+    f[:, 21] = par.map(len).to_numpy(dtype=np.float64)
+    f[:, 22] = url.map(len).to_numpy(dtype=np.float64)
     return f
 
 

@@ -28,7 +28,7 @@ from .params import CrawlParams
 from .politeness import order_cols, robots_admission_filter, schedule_frontier
 from .seen import SeenSet, with_bucket
 from .tables import SnapshotStore
-from .udfs import host_udf, normalize_udf, priority_udf, surt_udf
+from .udfs import canon_udf, host_udf, normalize_udf, priority_udf, surt_udf
 
 CANDIDATE_SCHEMA = T.StructType([
     T.StructField("url_raw", T.StringType()),
@@ -62,22 +62,44 @@ def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize(candidates: DataFrame, round_no: int) -> DataFrame:
+def canonicalize(candidates: DataFrame, round_no: int,
+                 fused: bool = False) -> DataFrame:
     """U1-U4 + U11: normalize (drop malformed), host, host_key, surt,
-    priority, depth. UDFs are the vectorized kernels; everything else JVM."""
-    return (candidates
-            .withColumn("url", normalize_udf("url_raw", "page_url"))
-            .filter(F.col("url").isNotNull())
-            .withColumn("host", host_udf("url"))
-            .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+    priority, depth. Everything non-UDF is JVM.
+
+    Two physically different but result-identical UDF layouts (A/B'd in
+    BENCH.md):
+    - chained (default): four pandas UDF stages; Spark pipelines them, so
+      per task up to four Python workers overlap — fastest when cores are
+      not fully subscribed by task slots (local mode, spare cores).
+    - fused: one struct-returning Arrow kernel = one JVM↔Python exchange
+      per batch — fewer sockets/workers, the right shape when executors
+      are exactly sized (dense clusters) or socket syscalls are expensive.
+    """
+    if fused:
+        out = (candidates
+               .withColumn("_c", canon_udf(
+                   "url_raw", "page_url", "kind", "alt", "parent_txt",
+                   "dom_depth", "dom_sib"))
+               .select("*", "_c.url", "_c.host", "_c.surt", "_c.priority")
+               .drop("_c")
+               .filter(F.col("url").isNotNull())
+               .filter(F.col("host").isNotNull() & (F.col("host") != "")))
+    else:
+        out = (candidates
+               .withColumn("url", normalize_udf("url_raw", "page_url"))
+               .filter(F.col("url").isNotNull())
+               .withColumn("host", host_udf("url"))
+               .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+               .withColumn("surt", surt_udf("url"))
+               .withColumn("priority", priority_udf(
+                   "url", "page_url", "kind", "alt", "parent_txt",
+                   "dom_depth", "dom_sib")))
+    return (out
             # case-sensitive www-strip (ProcessingService.java:403-405), then
             # lowercase for robots/politeness grouping
             .withColumn("host_key",
                         F.lower(F.regexp_replace("host", r"^www\.", "")))
-            .withColumn("surt", surt_udf("url"))
-            .withColumn("priority", priority_udf(
-                "url", "page_url", "kind", "alt", "parent_txt",
-                "dom_depth", "dom_sib"))
             .withColumn("depth", F.lit(round_no)))
 
 

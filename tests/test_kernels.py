@@ -91,6 +91,36 @@ class TestHostSurt:
         assert K.surt_one("nope") is None
 
 
+class TestVectorizedDecompose:
+    URLS = [
+        "http://User:p@WWW.Ex.COM:8080/a/b?q=1#f", "http://h/", "http://h",
+        "HTTPS://A.B/x?y#z", "ftp://x.y/z", "mailto:someone@host.com",
+        "file:/local/path", "rel/x.jpg", "", "http://h:80?q", "http://h#f",
+        "http://@h/p", "http://a@b@c/p", "jar:foo!/bar", "http://h/p?a?b",
+        "notaurl", "://nohost", "http://h.com/a b",
+    ]
+
+    def test_matches_scalar_split_url(self):
+        """The vectorized _decompose must equal the scalar split_url spec
+        on every absolute URL, and be all-None elsewhere."""
+        s = pd.Series(self.URLS)
+        d = K._decompose(s)
+        for i, u in enumerate(self.URLS):
+            if K.is_absolute(u):
+                _proto, host, path, query = K.split_url(u)
+                assert d["host"][i] == host, u
+                assert d["path"][i] == path, u
+                assert d["query"][i] == query, u
+            else:
+                assert d["host"][i] is None, u
+
+    def test_surt_series_matches_scalar(self):
+        s = pd.Series(self.URLS)
+        got = K.surt_series(s)
+        for i, u in enumerate(self.URLS):
+            assert (got[i] if pd.notna(got[i]) else None) == K.surt_one(u), u
+
+
 class TestPredicates:
     def test_media_suffix_and_platforms(self):
         s = pd.Series([

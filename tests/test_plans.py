@@ -1,0 +1,111 @@
+"""Physical-plan audits: the plans must stay the plans we designed.
+
+These assert the Catalyst properties the 100 TB story depends on —
+column pruning reaching the parquet scan, broadcasts where a dim is
+small, window-group-limit pushdown for top-k, and bounded exchange
+counts in the scheduling pipeline. A regression here is a performance
+bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ccspark import analytics
+from ccspark.registry import ALL
+
+SF = "/root/testdata/sf0.001"
+
+
+def phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestColumnPruning:
+    def test_sum_by_key_scan_reads_only_needed_columns(self, spark):
+        p = phys(analytics.q_sum_by_key(spark, SF))
+        scan = [ln for ln in p.splitlines() if "FileScan" in ln or "Scan parquet" in ln]
+        assert scan, p
+        text = " ".join(scan)
+        assert "l_shipdate" not in text, "unneeded column read"
+        assert "l_orderkey" not in text, "unneeded column read"
+
+    def test_word_count_prunes_documents(self, spark):
+        p = phys(analytics.q_word_count(spark, SF))
+        scan = " ".join(ln for ln in p.splitlines() if "Scan" in ln)
+        assert "n_chars" not in scan
+
+    def test_first_wins_filter_pushdown(self, spark):
+        """A filter on the scan column reaches PushedFilters."""
+        from pyspark.sql import functions as F
+        df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+              .filter(F.col("l_quantity") > 40).select("l_orderkey"))
+        p = phys(df)
+        assert "PushedFilters: [" in p
+        assert "GreaterThan(l_quantity" in p
+
+
+class TestJoinStrategies:
+    def test_region_members_broadcasts_dims(self, spark):
+        p = phys(analytics.q_region_members(spark, SF))
+        assert "BroadcastHashJoin" in p
+
+    def test_seen_anti_join_is_hash_anti(self, spark):
+        p = phys(analytics.q_seen_anti_join(spark, SF))
+        assert "LeftAnti" in p
+
+    def test_vocab_join_broadcasts_vocab(self, spark):
+        p = phys(analytics.q_vocab_join(spark, SF))
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+class TestWindowOptimizations:
+    def test_topk_per_key_uses_window_group_limit(self, spark):
+        """rank<=k must push into WindowGroupLimit (partial top-k before
+        the shuffle) — without it the full orders table sorts per key."""
+        p = phys(analytics.q_topk_per_key(spark, SF))
+        assert "WindowGroupLimit" in p
+
+    def test_schedule_pipeline_exchange_budget(self, spark):
+        """The full scheduling pipeline must not grow extra shuffles:
+        canonicalize adds none; dedup 1 (by url); politeness 2 (salt
+        window + host window). Anything above 4 is a plan regression."""
+        from ccspark.benchflow import synthetic_candidates
+        from ccspark.scheduler import canonicalize, batch_dedup
+        from ccspark.seen import with_bucket
+        from ccspark.politeness import schedule_frontier
+        from ccspark.params import CrawlParams
+        robots = spark.createDataFrame(
+            [], "host string, crawl_delay double, disallow array<string>")
+        sched = schedule_frontier(
+            with_bucket(batch_dedup(canonicalize(
+                synthetic_candidates(spark, 1000), 0))),
+            robots, CrawlParams())
+        p = phys(sched)
+        n_ex = sum(1 for ln in p.splitlines()
+                   if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln)
+        assert n_ex <= 4, f"{n_ex} exchanges:\n{p}"
+
+    def test_canonicalize_has_no_exchange(self, spark):
+        from ccspark.benchflow import synthetic_candidates
+        from ccspark.scheduler import canonicalize
+        p = phys(canonicalize(synthetic_candidates(spark, 1000), 0))
+        assert "Exchange" not in p
+
+
+class TestDedupPlans:
+    def test_minhash_lsh_join_keys_are_band_and_hash(self, spark):
+        """The LSH self-join must key on (band, minhash) — never a cross
+        product of documents."""
+        fn, _ = ALL["dedup_minhash_lsh"]
+        p = phys(fn(spark, SF))
+        assert "CartesianProduct" not in p
+
+    def test_ann_lsh_topk_joins_on_bucket(self, spark):
+        fn, _ = ALL["ann_lsh_topk"]
+        p = phys(fn(spark, SF))
+        assert "bucket" in p

@@ -1,0 +1,138 @@
+"""Property-based tests (SURVEY.md §5.2 item 4).
+
+Pure-kernel properties run under hypothesis (no Spark); Spark-side
+invariants (politeness budget, bloom no-false-negatives through the real
+applyInPandas path) run as deterministic randomized checks against the
+session fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from ccspark import kernels as K
+from ccspark.seen import _bit_positions
+
+# URL-ish text: printable, no whitespace (canonicalize strips whitespace first)
+url_text = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=60)
+host_text = st.from_regex(r"[a-z]{1,8}\.(com|org|net)", fullmatch=True)
+path_text = st.from_regex(r"(/[a-z0-9_.]{1,8}){0,4}", fullmatch=True)
+
+
+class TestCanonProperties:
+    @given(src=url_text, host=host_text, path=path_text)
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_idempotent(self, src, host, path):
+        """canon(canon(u)) == canon(u): any non-None output is absolute and
+        passes through normalize unchanged."""
+        page = f"http://{host}{path or '/'}"
+        out = K.normalize_one(src, page)
+        if out is not None:
+            assert K.is_absolute(out)
+            assert K.normalize_one(out, page) == out
+
+    @given(src=url_text, host=host_text)
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_host_is_base_host_for_relatives(self, src, host):
+        """A relative src always resolves onto the page's host."""
+        page = f"http://{host}/a/b.html"
+        out = K.normalize_one(src, page)
+        if out is not None and not K.is_absolute(src):
+            assert K.hosts_of(pd.Series([out]))[0] == host
+
+    @given(u=url_text)
+    @settings(max_examples=200, deadline=None)
+    def test_surt_deterministic_and_total(self, u):
+        assert K.surt_one(u) == K.surt_one(u)
+
+    @given(u=st.text(max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def test_dims_never_negative(self, u):
+        w, h = K.extract_dims_one(u)
+        assert w >= 0 and h >= 0
+
+    @given(s=st.text(max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_ngram_sizes_bounded(self, s):
+        for g in K.url_ngrams_one(s, 2, 5):
+            assert 2 <= len(g) <= 5
+            assert g == g.lower()
+
+    @given(u=st.text(min_size=1, max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_md5_key_fits_int64(self, u):
+        k = K.md5_key_one(u)
+        assert 0 <= k < 2 ** 60
+
+
+class TestBloomProperties:
+    @given(urls=st.lists(st.text(min_size=1, max_size=30), min_size=1,
+                         max_size=200, unique=True),
+           data=st.data())
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives(self, urls, data):
+        """Every inserted key probes positive — the property the engine's
+        bloom fast-path correctness rests on (false positives only cost a
+        redundant exact join)."""
+        m, k = 1 << 12, 7
+        s = pd.Series(urls)
+        bits = np.zeros(m, dtype=np.uint8)
+        bits[_bit_positions(s, m, k).ravel()] = 1
+        probe = data.draw(st.lists(st.sampled_from(urls), max_size=50))
+        if probe:
+            idx = _bit_positions(pd.Series(probe), m, k)
+            assert bits[idx].all(axis=1).all()
+
+
+class TestSchedulerInvariants:
+    def test_budget_never_exceeded(self, spark):
+        """Per-host scheduled count ≤ floor(round_seconds/crawl_delay) —
+        through the real salted-window Spark path, with a hot host."""
+        from pyspark.sql import functions as F
+        from ccspark.params import CrawlParams
+        from ccspark.politeness import schedule_frontier
+
+        rng = np.random.default_rng(3)
+        n = 4000
+        hosts = np.where(rng.random(n) < 0.5, "hot.example.com",
+                         np.char.add(rng.integers(0, 40, n).astype(str), ".site.com"))
+        pdf = pd.DataFrame({
+            "url": [f"http://{h}/p{i}" for i, h in enumerate(hosts)],
+            "host_key": hosts,
+            "surt": [f"{h})/p{i}" for i, h in enumerate(hosts)],
+            "priority": rng.random(n),
+            "depth": rng.integers(0, 3, n).astype("int32"),
+        })
+        frontier = spark.createDataFrame(pdf)
+        robots = spark.createDataFrame(
+            [("hot.example.com", 0.5, [])],
+            "host string, crawl_delay double, disallow array<string>")
+        params = CrawlParams(round_seconds=10.0, default_crawl_delay=0.15,
+                             num_salts=4)
+        sched = schedule_frontier(frontier, robots, params)
+        got = {r["host_key"]: r["c"] for r in
+               sched.groupBy("host_key").agg(F.count(F.lit(1)).alias("c")).collect()}
+        assert got.get("hot.example.com", 0) <= int(10.0 / 0.5)
+        default_budget = int(10.0 / 0.15)
+        for h, c in got.items():
+            if h != "hot.example.com":
+                assert c <= default_budget
+
+    def test_dedup_rate_and_frontier_metrics_monotone_sane(self, spark, fx_small,
+                                                           tmp_path):
+        """north_rule metrics: dedup_rate ∈ [0,1]; seen set only grows."""
+        from ccspark.params import CrawlParams
+        from ccspark.scheduler import CrawlEngine
+        eng = CrawlEngine(spark, str(tmp_path / "m"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"],
+                          params=CrawlParams(rounds=3))
+        metrics = eng.run()
+        seen_running = 0
+        for m in metrics:
+            assert 0.0 <= m["dedup_rate"] <= 1.0
+            assert m["new_seen"] >= 0 and m["frontier_depth"] >= 0
+            seen_running += m["new_seen"]
+        assert seen_running == eng.seen.seen_df().count()
