@@ -417,6 +417,55 @@ SQL_FETCH_SIM = (
     f"       FROM (SELECT {_MEDIA_URL_SPARK} AS url FROM part))")
 
 # ---------------------------------------------------------------------------
+# F4/F5 — HTTP response header/body split at \r\n\r\n (TagCounterMap.java:45,53)
+# + Content-Type header predicate, over synthesized raw responses
+# ---------------------------------------------------------------------------
+
+_RAW_HTTP_SPARK = ("concat('HTTP/1.1 200 OK\\r\\nContent-Type: ',"
+                   " CASE WHEN doc_id % 3 = 0 THEN 'text/html' ELSE 'text/plain' END,"
+                   " '\\r\\n\\r\\n', text)")
+
+
+def q_http_body_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("raw", F.expr(_RAW_HTTP_SPARK))
+    parts = F.split("raw", "\r\n\r\n", 2)
+    return (d.withColumn("header", parts.getItem(0))
+            .withColumn("body", F.element_at(parts, 2))
+            .filter(F.col("header").contains("Content-Type: text/html"))
+            .select("doc_id", F.length("body").cast("bigint").alias("body_len")))
+
+
+_RAW_HTTP_DUCK = ("concat('HTTP/1.1 200 OK', chr(13), chr(10), 'Content-Type: ',"
+                  " CASE WHEN doc_id % 3 = 0 THEN 'text/html' ELSE 'text/plain' END,"
+                  " chr(13), chr(10), chr(13), chr(10), text)")
+SQL_HTTP_BODY_SPLIT = (
+    "SELECT doc_id, CAST(length(body) AS BIGINT) AS body_len FROM ("
+    f"  SELECT doc_id, str_split(raw, chr(13) || chr(10) || chr(13) || chr(10))[1]"
+    "     AS header,"
+    f"  str_split(raw, chr(13) || chr(10) || chr(13) || chr(10))[2] AS body"
+    f"  FROM (SELECT doc_id, {_RAW_HTTP_DUCK} AS raw FROM documents))"
+    " WHERE contains(header, 'Content-Type: text/html')")
+
+# ---------------------------------------------------------------------------
+# F10 — fetch-worthiness gates on fetched metadata (ImageUtils.java:26-28,
+# 81-87: content-length > 20000 and image content type; status 200)
+# ---------------------------------------------------------------------------
+
+
+def q_fetch_worthy(spark, sf_dir):
+    sim = q_fetch_sim(spark, sf_dir)
+    is_img = F.col("url").rlike(MEDIA_SUFFIX_ANCHORED)
+    return (sim.filter((F.col("status") == 200)
+                       & (F.col("content_length") > 20000) & is_img)
+            .select("url", "content_length"))
+
+
+SQL_FETCH_WORTHY = (
+    "SELECT url, content_length FROM (" + SQL_FETCH_SIM + ")"
+    " WHERE status = 200 AND content_length > 20000"
+    f" AND regexp_matches(url, '{MEDIA_SUFFIX_ANCHORED}')")
+
+# ---------------------------------------------------------------------------
 # U8 — per-host politeness budget window (the scheduler's top-budget-per-host
 # selection, relational twin): budget(nation) rows per nation by acctbal
 # ---------------------------------------------------------------------------
@@ -440,6 +489,58 @@ SQL_POLITENESS_BUDGET = (
     "   row_number() OVER (PARTITION BY c_nationkey"
     "     ORDER BY c_acctbal DESC, c_custkey ASC) AS _rn"
     "  FROM customer) WHERE _rn <= budget")
+
+# ---------------------------------------------------------------------------
+# X6 — URL → word split (scheme stripped, ≤4-char extension stripped, split
+# on /|.|-; ScoreNgramArffCreator.java:104-116) over synthesized URLs
+# ---------------------------------------------------------------------------
+
+
+def q_url_words(spark, sf_dir):
+    p = t(spark, sf_dir, "part").withColumn("url", F.expr(_MEDIA_URL_SPARK))
+    stripped = F.regexp_replace("url", r"^[a-z]+://", "")
+    # strip a trailing .xxxx extension of 1-4 chars (the reference's
+    # rfind('.') >= len-5 gate)
+    no_ext = F.regexp_replace(stripped, r"\.[^./]{1,4}$", "")
+    return (p.withColumn("w", F.explode(F.split(no_ext, r"/|\.|\-")))
+            .filter(F.col("w") != "")
+            .groupBy(F.lower("w").alias("word"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+SQL_URL_WORDS = (
+    "SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "  SELECT unnest(string_split_regex("
+    "    regexp_replace(regexp_replace(url, '^[a-z]+://', ''),"
+    "                   '\\.[^./]{1,4}$', ''), '/|\\.|\\-')) AS w"
+    f"  FROM (SELECT {_MEDIA_URL_SPARK} AS url FROM part))"
+    " WHERE w <> '' GROUP BY lower(w)")
+
+# ---------------------------------------------------------------------------
+# A6 — unique counts (GLOBAL_COUNT/DOMAIN_COUNT, Statistics.java:84-85):
+# exact distinct per key; the approximate variant is a rows-only query
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_users_by_type(spark, sf_dir):
+    return (t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("uniq_users")))
+
+
+SQL_DISTINCT_USERS_BY_TYPE = (
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users"
+    " FROM events GROUP BY event_type")
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """A6 approximate path (HLL++). No SQL oracle: DuckDB's approx sketch
+    differs by construction — rows-only check; the exact twin above is
+    the value-checked one."""
+    return (t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_uniq")))
+
 
 # ---------------------------------------------------------------------------
 # events daily rollup — time-bucketed aggregation (metrics-table shape the
@@ -487,4 +588,9 @@ REG: dict[str, tuple] = {
     "fetch_sim": (q_fetch_sim, SQL_FETCH_SIM),
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "url_words": (q_url_words, SQL_URL_WORDS),
+    "fetch_worthy": (q_fetch_worthy, SQL_FETCH_WORTHY),
+    "http_body_split": (q_http_body_split, SQL_HTTP_BODY_SPLIT),
+    "distinct_users_by_type": (q_distinct_users_by_type, SQL_DISTINCT_USERS_BY_TYPE),
+    "approx_distinct_users": (q_approx_distinct_users, None),
 }

@@ -172,6 +172,9 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             recs.sort(key=order_key)
             scheduled.extend(recs[:budget])
         scheduled.sort(key=order_key)
+        if params.max_scheduled_per_round is not None:
+            # U9 backpressure: global top-K in total order
+            scheduled = scheduled[:params.max_scheduled_per_round]
         for c in scheduled:
             del res.frontier[c["url"]]
             c["fetch_round"] = r

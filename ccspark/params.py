@@ -21,6 +21,10 @@ class CrawlParams:
     follow_links: bool = True           # schedule non-media <a>/<link> hrefs as pages
     num_salts: int = 8                  # hot-host salting fan-out (engine only)
     seen_partitions: int = 256          # bloom/seen hash partitions (engine only)
+    #: U9 backpressure (ProcessingService.java:44-45 MAX_NUM_PENDING_TASKS):
+    #: global cap on URLs scheduled per round, applied AFTER per-host budgets
+    #: in frontier total order. None = unbounded.
+    max_scheduled_per_round: int | None = None
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

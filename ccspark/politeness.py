@@ -29,11 +29,11 @@ def order_cols():
             F.col("surt").asc(), F.col("url").asc()]
 
 
-def robots_admission_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose URL path starts with any disallowed prefix for
-    the host. Plain equi-join on host_key (Catalyst broadcasts a small
-    robots table automatically; at 1e8-host scale it becomes a shuffle
-    join on the same key the frontier is already partitioned by)."""
+def with_robots_blocked_flag(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Attach `_blocked`: URL path starts with a disallowed prefix for the
+    host. Plain equi-join on host_key (Catalyst broadcasts a small robots
+    table automatically; at 1e8-host scale it becomes a shuffle join on
+    the same key the frontier is already partitioned by)."""
     rb = robots.select(F.col("host").alias("host_key"), "disallow")
     joined = candidates.join(rb, "host_key", "left")
     # path per kernels.split_url: after the authority, up to '?'/'#'.
@@ -43,8 +43,14 @@ def robots_admission_filter(candidates: DataFrame, robots: DataFrame) -> DataFra
         F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     blocked = F.exists("disallow", lambda p: path.startswith(p))
     return (joined
-            .filter(~F.coalesce(blocked, F.lit(False)))
+            .withColumn("_blocked", F.coalesce(blocked, F.lit(False)))
             .drop("disallow"))
+
+
+def robots_admission_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates blocked by robots (filter form of the flag above)."""
+    return (with_robots_blocked_flag(candidates, robots)
+            .filter(~F.col("_blocked")).drop("_blocked"))
 
 
 def with_budget(df: DataFrame, robots: DataFrame, params: CrawlParams) -> DataFrame:
@@ -70,6 +76,12 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
               .filter(F.col("_srn") <= F.col("budget"))
               .drop("_srn", "salt"))
     w_host = Window.partitionBy("host_key").orderBy(*order_cols())
-    return (pruned.withColumn("_rn", F.row_number().over(w_host))
-            .filter(F.col("_rn") <= F.col("budget"))
-            .drop("_rn", "budget"))
+    sched = (pruned.withColumn("_rn", F.row_number().over(w_host))
+             .filter(F.col("_rn") <= F.col("budget"))
+             .drop("_rn", "budget"))
+    if params.max_scheduled_per_round is not None:
+        # U9 backpressure: global top-K in total order. TakeOrderedAndProject
+        # keeps this a per-partition top-K + single merge, not a full sort.
+        sched = (sched.orderBy(*order_cols())
+                 .limit(params.max_scheduled_per_round))
+    return sched

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from .extract import extract_links
 from .fetchsim import discovered_docs, with_fetch_sim
 from .params import CrawlParams
-from .politeness import order_cols, robots_admission_filter, schedule_frontier
+from .politeness import order_cols, schedule_frontier, with_robots_blocked_flag
 from .seen import SeenSet, with_bucket
 from .tables import SnapshotStore
 from .udfs import canon_udf, host_udf, normalize_udf, priority_udf, surt_udf
@@ -130,6 +130,7 @@ class CrawlEngine:
         self.seeds_path = seeds_path
         self.robots = spark.read.parquet(robots_path)
         self.docs = spark.read.parquet(documents_path)
+        self._prev_depth = 0  # frontier depth after the last completed round
 
     # -- resumability --------------------------------------------------------
 
@@ -150,6 +151,7 @@ class CrawlEngine:
             if v is not None:
                 tbl.rollback_to(v)
         nxt = last["round"] + 1
+        self._prev_depth = last["metrics"]["frontier_depth"]
         cand = self.candidates_tbl.read(last["tables"]["candidates"])
         return nxt, cand
 
@@ -157,16 +159,26 @@ class CrawlEngine:
 
     def run_round(self, r: int, candidates: DataFrame) -> DataFrame:
         p = self.params
-        candidates = candidates.cache()
-        m: dict = {"round": r, "candidates_in": candidates.count()}
+        m: dict = {"round": r}
 
-        canon = canonicalize(candidates, r).cache()
-        n_canon = canon.count()
-        m["malformed_dropped"] = m["candidates_in"] - n_canon
-
-        admitted = robots_admission_filter(canon, self.robots).cache()
-        n_adm = admitted.count()
-        m["robots_blocked"] = n_canon - n_adm
+        # single-pass admission metrics: canonicalize WITHOUT dropping rows,
+        # flag validity + robots blocking, and take all three counts in ONE
+        # aggregation job over the cached flagged frame (replaces three
+        # separate count actions — action count per round is the driver-side
+        # bottleneck of the round loop).
+        canon = canonicalize(candidates, r)
+        flagged = with_robots_blocked_flag(canon, self.robots).cache()
+        counts = candidates.select(
+            F.count(F.lit(1)).alias("n_in")).collect()[0]
+        fc = flagged.select(
+            F.count(F.lit(1)).alias("n_canon"),
+            F.sum(F.when(~F.col("_blocked"), 1).otherwise(0)).alias("n_adm"),
+        ).collect()[0]
+        m["candidates_in"] = counts.n_in
+        m["malformed_dropped"] = m["candidates_in"] - fc.n_canon
+        m["robots_blocked"] = fc.n_canon - fc.n_adm
+        n_adm = fc.n_adm
+        admitted = flagged.filter(~F.col("_blocked")).drop("_blocked")
 
         new = self.seen.filter_new(with_bucket(batch_dedup(admitted),
                                                partitions=p.seen_partitions)).cache()
@@ -189,7 +201,9 @@ class CrawlEngine:
         remaining = frontier.join(sched.select("url"), "url", "left_anti")
         versions["frontier"] = self.frontier_tbl.commit(
             remaining, r, repartition=(min(p.seen_partitions, 32), "bucket"))
-        m["frontier_depth"] = frontier.count() - m["scheduled"]
+        # arithmetic, not a count job: depth = prev_depth + new − scheduled
+        m["frontier_depth"] = self._prev_depth + m["new_seen"] - m["scheduled"]
+        self._prev_depth = m["frontier_depth"]
 
         fetched = with_fetch_sim(sched).withColumn("fetch_round", F.lit(r))
         versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
@@ -201,7 +215,7 @@ class CrawlEngine:
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
 
         self.store.commit_round(r, versions, m)
-        for df in (candidates, canon, admitted, new, frontier, sched, hits):
+        for df in (flagged, new, frontier, sched, hits):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
 

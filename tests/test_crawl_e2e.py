@@ -125,6 +125,22 @@ class TestResume:
         assert "http://crash.example/x" not in seen
 
 
+class TestBackpressure:
+    def test_u9_round_cap_matches_oracle(self, spark, fx_small, tmp_path):
+        """U9: global per-round cap (ProcessingService.java:44-45 analog)
+        — engine and oracle must agree on WHICH URLs make the cut."""
+        params = CrawlParams(rounds=2, max_scheduled_per_round=25)
+        want = run_oracle(fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], params)
+        eng = CrawlEngine(spark, str(tmp_path / "cap"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"], params=params)
+        eng.run()
+        got = _scheduled_lists(eng)
+        for r, w in enumerate(want.scheduled):
+            assert len(w) <= 25
+            assert got.get(r, []) == [(c["url"], c["priority"]) for c in w]
+
+
 class TestSpanInvariant:
     def test_span_sequence_preserved(self, spark, fx_small):
         """input_hint: per-row span-sequence equality (kind, text,
