@@ -140,7 +140,13 @@ SQL_SOURCE_LANG_FREQ = ("SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt "
 
 
 def q_first_wins_dedup(spark, sf_dir):
-    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber").asc())
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — the order
+    # must be total or the two engines pick different winners (A3's
+    # "deterministic first" lesson, same as the crawl's lineage tiebreak)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").asc(), F.col("l_partkey").asc(),
+        F.col("l_suppkey").asc(), F.col("l_extendedprice").asc(),
+        F.col("l_quantity").asc())
     return (t(spark, sf_dir, "lineitem")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -149,7 +155,9 @@ def q_first_wins_dedup(spark, sf_dir):
 
 SQL_FIRST_WINS_DEDUP = (
     "SELECT l_orderkey, l_partkey, l_quantity FROM ("
-    "  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS _rn"
+    "  SELECT *, row_number() OVER (PARTITION BY l_orderkey"
+    "    ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC,"
+    "             l_extendedprice ASC, l_quantity ASC) AS _rn"
     "  FROM lineitem) WHERE _rn = 1")
 
 # ---------------------------------------------------------------------------
