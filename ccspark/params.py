@@ -25,6 +25,10 @@ class CrawlParams:
     #: global cap on URLs scheduled per round, applied AFTER per-host budgets
     #: in frontier total order. None = unbounded.
     max_scheduled_per_round: int | None = None
+    #: compact the seen-set delta chain into one 'full' snapshot every k
+    #: rounds (Iceberg rewrite-data-files analog); None = never. Purely a
+    #: maintenance operation — results are unchanged (tested).
+    compact_seen_every: int | None = None
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

@@ -215,6 +215,12 @@ class CrawlEngine:
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
 
         self.store.commit_round(r, versions, m)
+        if (p.compact_seen_every is not None
+                and (r + 1) % p.compact_seen_every == 0):
+            # chain maintenance AFTER the round commit: a crash here just
+            # loses the compaction, never round data
+            self.seen.seen_tbl.compact_chain(
+                r, repartition=(min(p.seen_partitions, 32), "bucket"))
         for df in (flagged, new, frontier, sched, hits):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])

@@ -198,9 +198,110 @@ SQL_ANN_LSH_TOPK = (
     f" WHERE rank <= {TOP_K}")
 
 
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN: coarse quantizer = K fixed centroid vectors (here the
+# first K embeddings stand in for k-means centroids — the assignment and
+# probe plumbing is the part that matters at scale); each vector joins its
+# nearest cell, queries probe the NPROBE nearest cells. At 100 TB the cell
+# id is the shuffle key and the centroid table is a broadcast dim.
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+NPROBE = 2
+
+
+def _cells(spark, sf_dir):
+    """(vec_id, cell, rank) for every vector: rank over cells by rounded
+    cosine to the centroid (ties → smaller cell id). rank 1 = assignment;
+    rank ≤ NPROBE = query probe set."""
+    e = _with_norm(emb(spark, sf_dir))
+    cents = (e.filter(F.col("vec_id") < N_CELLS)
+             .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+                     F.col("norm").alias("cnorm")))
+    dot = F.expr(_DOT.format(a="v", b="cv"))
+    sim = F.round(dot / (F.col("norm") * F.col("cnorm")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc())
+    return (e.crossJoin(F.broadcast(cents))
+            .withColumn("csim", sim)
+            .withColumn("crank", F.row_number().over(w))
+            .select("vec_id", "cell", "crank"))
+
+
+_DUCK_CELLS = (
+    "SELECT vec_id, cell, crank FROM ("
+    "  SELECT e.vec_id, c.cell,"
+    "   row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+    "     round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) DESC,"
+    "     c.cell ASC) AS crank"
+    "  FROM (" + _DUCK_NORM + ") e,"
+    f"  (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM (" + _DUCK_NORM + ")"
+    f"   WHERE vec_id < {N_CELLS}) c)")
+
+
+def q_ann_ivf_cells(spark, sf_dir):
+    """The IVF assignment itself (rank-1 cell per vector)."""
+    return (_cells(spark, sf_dir).filter(F.col("crank") == 1)
+            .select("vec_id", F.col("cell").cast("bigint").alias("cell")))
+
+
+SQL_ANN_IVF_CELLS = (
+    "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM ("
+    + _DUCK_CELLS + ") WHERE crank = 1")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF search: probe the NPROBE nearest cells, rank candidates inside
+    probed cells by cosine. Join key = cell (the bucket-partitioned path)."""
+    cells = _cells(spark, sf_dir)
+    assign = (cells.filter(F.col("crank") == 1).select("vec_id", "cell"))
+    probes = (cells.filter(F.col("crank") <= NPROBE)
+              .filter(F.col("vec_id") < N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"), "cell"))
+    e = _with_norm(emb(spark, sf_dir))
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("norm").alias("qnorm"))
+    c = (e.join(assign, "vec_id")
+         .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+                 F.col("norm").alias("cnorm"), "cell"))
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    sim = F.round(dot / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc())
+    return (probes.join(c, "cell").join(q, "query_id")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .withColumn("sim", sim)
+            .dropDuplicates(["query_id", "cand_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "sim",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+SQL_ANN_IVF_TOPK = (
+    "WITH cells AS (" + _DUCK_CELLS + "),"
+    " assign AS (SELECT vec_id, cell FROM cells WHERE crank = 1),"
+    f" probes AS (SELECT vec_id AS query_id, cell FROM cells"
+    f"   WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),"
+    " e AS (" + _DUCK_NORM + "),"
+    " q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e),"
+    " c AS (SELECT e.vec_id AS cand_id, e.v AS cv, e.norm AS cnorm, a.cell"
+    "   FROM e JOIN assign a ON a.vec_id = e.vec_id),"
+    " sims AS (SELECT DISTINCT p.query_id, c.cand_id,"
+    "   round(list_dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm), 6) AS sim"
+    "   FROM probes p JOIN c USING (cell) JOIN q USING (query_id)"
+    "   WHERE p.query_id <> c.cand_id)"
+    " SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM ("
+    "   SELECT *, row_number() OVER (PARTITION BY query_id"
+    "     ORDER BY sim DESC, cand_id ASC) AS rank FROM sims)"
+    f" WHERE rank <= {TOP_K}")
+
+
 REG: dict[str, tuple] = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "embedding_neardup_topk": (q_embedding_neardup_topk, SQL_EMBEDDING_NEARDUP_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }

@@ -52,11 +52,12 @@ class SnapshotTable:
 
     def commit(self, df: DataFrame, round_no: int, metrics: dict | None = None,
                partition_by: list[str] | None = None,
-               repartition: tuple | None = None) -> int:
+               repartition: tuple | None = None, kind: str = "delta") -> int:
         """Write df as the next snapshot version. The JSON manifest is
         written only after the parquet write fully succeeds, so a crash
         mid-write leaves the previous snapshot authoritative (the
-        resumability contract)."""
+        resumability contract). kind='full' marks a snapshot that
+        replaces the whole chain before it (compaction)."""
         version = (self.latest_version() or 0) + 1
         path = os.path.join(self.dir, f"v{version}")
         w = df
@@ -76,6 +77,7 @@ class SnapshotTable:
             "version": version,
             "round": round_no,
             "parent": self.latest_version(),
+            "kind": kind,
             "path": path,
             "files": sorted(files),
             "num_files": len(files),
@@ -97,15 +99,31 @@ class SnapshotTable:
         return self.spark.read.parquet(os.path.join(self.dir, f"v{version}"))
 
     def read_chain(self, version: int | None = None) -> DataFrame:
-        """Append-mode read: the UNION of snapshots v1..version. Used for
+        """Append-mode read: the UNION of delta snapshots since (and
+        including) the last 'full' snapshot ≤ version. Used for
         append-only tables (the seen set) so each round commits only its
-        delta instead of rewriting history — the Iceberg append analog."""
+        delta instead of rewriting history — the Iceberg append analog;
+        compaction (`compact_chain`) bounds the chain length."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no snapshots for table {self.name}")
-        paths = [os.path.join(self.dir, f"v{v}") for v in self.versions() if v <= version]
+        vs = [v for v in self.versions() if v <= version]
+        base = 0
+        for v in vs:
+            if self.meta(v).get("kind") == "full":
+                base = v
+        paths = [os.path.join(self.dir, f"v{v}") for v in vs if v >= base]
         return self.spark.read.parquet(*paths)
+
+    def compact_chain(self, round_no: int,
+                      repartition: tuple | None = None) -> int:
+        """Rewrite the live chain into one 'full' snapshot — the Iceberg
+        rewrite-data-files maintenance analog. Older versions stay
+        readable for time travel; read_chain afterwards reads one
+        snapshot until new deltas accumulate."""
+        return self.commit(self.read_chain(), round_no, kind="full",
+                           repartition=repartition)
 
     def exists(self) -> bool:
         return self.latest_version() is not None

@@ -141,6 +141,31 @@ class TestBackpressure:
             assert got.get(r, []) == [(c["url"], c["priority"]) for c in w]
 
 
+class TestCompaction:
+    def test_compacted_run_identical_and_chain_bounded(self, spark, fx_small,
+                                                       tmp_path, oracle_small):
+        """Seen-chain compaction is pure maintenance: same scheduled
+        ordering and seen set, but read_chain afterwards reads one 'full'
+        snapshot instead of one delta per round."""
+        params = CrawlParams(rounds=3, compact_seen_every=2)
+        eng = CrawlEngine(spark, str(tmp_path / "cp"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"], params=params)
+        eng.run()
+        got = _scheduled_lists(eng)
+        for r, want in enumerate(oracle_small.scheduled):
+            assert got.get(r, []) == [(c["url"], c["priority"]) for c in want]
+        assert ({r.url for r in eng.seen.seen_df().select("url").collect()}
+                == set(oracle_small.seen))
+        tbl = eng.seen.seen_tbl
+        kinds = [tbl.meta(v).get("kind") for v in tbl.versions()]
+        assert "full" in kinds, kinds
+        # chain read spans only the tail: full snapshot + later deltas
+        last_full = max(v for v in tbl.versions()
+                        if tbl.meta(v).get("kind") == "full")
+        tail = [v for v in tbl.versions() if v >= last_full]
+        assert len(tail) < len(tbl.versions())
+
+
 class TestSpanInvariant:
     def test_span_sequence_preserved(self, spark, fx_small):
         """input_hint: per-row span-sequence equality (kind, text,
