@@ -62,7 +62,9 @@ def phase_pipeline(cores: int) -> None:
 
 
 def phase_queries() -> None:
+    from ccspark.fixtures import fixture_for_sf
     from ccspark.registry import ALL
+    fixture_for_sf(SF_DIR)   # one-time fixture generation outside the timings
     spark = _session(CPUS)
     out: dict[str, float] = {}
     for name in HEADLINE:

@@ -572,6 +572,81 @@ SQL_EVENTS_DAILY = (
 
 
 # ---------------------------------------------------------------------------
+# X3 oracle-checked — the graft-pivot span extraction on an interleaved
+# spans table synthesized deterministically from the flat documents table.
+# The Spark side builds real array<struct> spans and runs the REAL
+# extract_links operator; the DuckDB twin computes the expected emission
+# flat (same md5-derived kinds/refs, same per-kind rules, follow_links=False).
+# ---------------------------------------------------------------------------
+
+# per-token selectors, identical in both engines: k = first md5 hex digit
+# of "doc_id_i" → kind; e = second digit → extension mix
+def interleaved_docs(spark, sf_dir):
+    """documents → (doc_id, page_url, spans: array<struct>) with
+    deterministic kinds/refs — the input_hint table shape from flat text."""
+    d = (t(spark, sf_dir, "documents")
+         .withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
+         .withColumn("page_url",
+                     F.concat(F.lit("http://site"), F.col("doc_id") % 50,
+                              F.lit(".example.com/p"), F.col("doc_id"),
+                              F.lit(".html"))))
+    k = "CAST(conv(substring(md5(concat(doc_id, '_', i)), 1, 1), 16, 10) AS INT)"
+    e = "CAST(conv(substring(md5(concat(doc_id, '_', i)), 2, 1), 16, 10) AS INT)"
+    span = (
+        "transform(toks, (w, i) -> named_struct("
+        f" 'kind', CASE WHEN {k} < 7 THEN 'text' WHEN {k} = 7 THEN 'img'"
+        f"   WHEN {k} = 8 THEN 'a' ELSE 'iframe' END,"
+        " 'text', w,"
+        f" 'media_ref', CASE WHEN {k} < 7 THEN ''"
+        "   ELSE concat('http://m.example.com/', w,"
+        f"     CASE WHEN {e} = 0 THEN '' WHEN {e} <= 5 THEN '.jpg'"
+        f"          WHEN {e} <= 10 THEN '.html' ELSE '.swf' END) END,"
+        " 'offset', i))")
+    return d.select("doc_id", "page_url", F.expr(span).alias("spans"))
+
+
+def q_span_extract(spark, sf_dir):
+    from .extract import extract_links
+    docs = interleaved_docs(spark, sf_dir)
+    out = extract_links(docs, follow_links=False)
+    return out.select("url_raw", "page_url", "kind", "alt",
+                      F.col("dom_depth").cast("bigint").alias("dom_depth"),
+                      F.col("dom_sib").cast("bigint").alias("dom_sib"),
+                      F.col("src_doc_id").cast("bigint").alias("src_doc_id"),
+                      F.col("offset").cast("bigint").alias("offset"))
+
+
+# DuckDB twin: flat token table + same hash-derived kind/ext + the
+# reference emission rules (img: any non-empty ref; a: media only when
+# follow_links=False; iframe: media only). Media predicate reduced to the
+# suffix set actually generated (.jpg/.swf media, .html not).
+SQL_SPAN_EXTRACT = (
+    "WITH tokd AS ("
+    "  SELECT doc_id, i, toks[i] AS w, len(toks) AS n_toks,"
+    "   ('0x' || substr(md5(concat(doc_id, '_', i - 1)), 1, 1))::INT AS k,"
+    "   ('0x' || substr(md5(concat(doc_id, '_', i - 1)), 2, 1))::INT AS e"
+    "  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')"
+    "        AS toks FROM documents), LATERAL unnest(generate_series(1, len(toks))) AS u(i)),"
+    " spans AS (SELECT doc_id, i - 1 AS off, w, n_toks,"
+    "   CASE WHEN k < 7 THEN 'text' WHEN k = 7 THEN 'img' WHEN k = 8 THEN 'a'"
+    "        ELSE 'iframe' END AS kind,"
+    "   CASE WHEN k < 7 THEN ''"
+    "        ELSE concat('http://m.example.com/', w,"
+    "          CASE WHEN e = 0 THEN '' WHEN e <= 5 THEN '.jpg'"
+    "               WHEN e <= 10 THEN '.html' ELSE '.swf' END) END AS ref"
+    "   FROM tokd)"
+    " SELECT ref AS url_raw,"
+    "  concat('http://site', doc_id % 50, '.example.com/p', doc_id, '.html')"
+    "    AS page_url,"
+    "  kind, w AS alt, CAST(off AS BIGINT) AS dom_depth,"
+    "  CAST(n_toks - 1 AS BIGINT) AS dom_sib,"
+    "  CAST(doc_id AS BIGINT) AS src_doc_id, CAST(off AS BIGINT) AS offset"
+    " FROM spans WHERE kind <> 'text' AND ref <> '' AND ("
+    "   kind = 'img'"
+    "   OR (kind IN ('a', 'iframe') AND regexp_matches(ref,"
+    "       '^(?i).*\\.(jpg|jpeg|png|gif|bmp|3gp|avi|flv|m4v|mov|mpg|mp4|mpeg|swf|wmv)$')))")
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -601,4 +676,5 @@ REG: dict[str, tuple] = {
     "http_body_split": (q_http_body_split, SQL_HTTP_BODY_SPLIT),
     "distinct_users_by_type": (q_distinct_users_by_type, SQL_DISTINCT_USERS_BY_TYPE),
     "approx_distinct_users": (q_approx_distinct_users, None),
+    "span_extract": (q_span_extract, SQL_SPAN_EXTRACT),
 }

@@ -20,7 +20,8 @@ ccspark.oracle exactly (tested per-round, rows AND order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+from pyspark.sql import (DataFrame, Observation, SparkSession, Window,
+                         functions as F, types as T)
 
 from .extract import extract_links
 from .fetchsim import discovered_docs, with_fetch_sim
@@ -161,32 +162,35 @@ class CrawlEngine:
         p = self.params
         m: dict = {"round": r}
 
-        # single-pass admission metrics: canonicalize WITHOUT dropping rows,
-        # flag validity + robots blocking, and take all three counts in ONE
-        # aggregation job over the cached flagged frame (replaces three
-        # separate count actions — action count per round is the driver-side
-        # bottleneck of the round loop).
+        # Metrics ride the round's own actions via observe() wherever the
+        # lineage is linear — per-round job count is the driver-side cost
+        # that dominates the loop (each job pays fixed scheduler+worker
+        # overhead), so the only standalone metric job is the admission
+        # aggregate below.
+        obs_in = Observation()
+        candidates = candidates.observe(obs_in, F.count(F.lit(1)).alias("n"))
         canon = canonicalize(candidates, r)
         flagged = with_robots_blocked_flag(canon, self.robots).cache()
-        counts = candidates.select(
-            F.count(F.lit(1)).alias("n_in")).collect()[0]
         fc = flagged.select(
             F.count(F.lit(1)).alias("n_canon"),
             F.sum(F.when(~F.col("_blocked"), 1).otherwise(0)).alias("n_adm"),
         ).collect()[0]
-        m["candidates_in"] = counts.n_in
+        m["candidates_in"] = obs_in.get["n"]
         m["malformed_dropped"] = m["candidates_in"] - fc.n_canon
         m["robots_blocked"] = fc.n_canon - fc.n_adm
         n_adm = fc.n_adm
         admitted = flagged.filter(~F.col("_blocked")).drop("_blocked")
 
-        new = self.seen.filter_new(with_bucket(batch_dedup(admitted),
-                                               partitions=p.seen_partitions)).cache()
-        m["new_seen"] = new.count()
+        # new-seen count observed on the seen-delta commit's action
+        obs_new = Observation()
+        new = (self.seen.filter_new(with_bucket(batch_dedup(admitted),
+                                                partitions=p.seen_partitions))
+               .observe(obs_new, F.count(F.lit(1)).alias("n"))
+               .cache())
+        versions = self.seen.add(new, r)
+        m["new_seen"] = obs_new.get["n"]
         m["dup_dropped"] = n_adm - m["new_seen"]
         m["dedup_rate"] = (m["dup_dropped"] / n_adm) if n_adm else 0.0
-
-        versions = self.seen.add(new, r)
 
         new_frontier = new.select(*FRONTIER_COLS)
         if self.frontier_tbl.exists():
@@ -195,8 +199,14 @@ class CrawlEngine:
             frontier = new_frontier
         frontier = frontier.cache()
 
-        sched = schedule_frontier(frontier, self.robots, p).cache()
-        m["scheduled"] = sched.count()
+        # scheduled count observed on the fetched-table commit
+        obs_sched = Observation()
+        sched = (schedule_frontier(frontier, self.robots, p)
+                 .observe(obs_sched, F.count(F.lit(1)).alias("n"))
+                 .cache())
+        fetched = with_fetch_sim(sched).withColumn("fetch_round", F.lit(r))
+        versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
+        m["scheduled"] = obs_sched.get["n"]
 
         remaining = frontier.join(sched.select("url"), "url", "left_anti")
         versions["frontier"] = self.frontier_tbl.commit(
@@ -205,14 +215,14 @@ class CrawlEngine:
         m["frontier_depth"] = self._prev_depth + m["new_seen"] - m["scheduled"]
         self._prev_depth = m["frontier_depth"]
 
-        fetched = with_fetch_sim(sched).withColumn("fetch_round", F.lit(r))
-        versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
-
-        hits = discovered_docs(self.scheduled_tbl.read(versions["scheduled"]),
-                               self.docs).cache()
-        m["pages_discovered"] = hits.count()
+        # discovered-pages count observed on the next-candidates commit
+        obs_hits = Observation()
+        hits = (discovered_docs(self.scheduled_tbl.read(versions["scheduled"]),
+                                self.docs)
+                .observe(obs_hits, F.count(F.lit(1)).alias("n")))
         next_cand = extract_links(hits, follow_links=p.follow_links)
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
+        m["pages_discovered"] = obs_hits.get["n"]
 
         self.store.commit_round(r, versions, m)
         if (p.compact_seen_every is not None
@@ -221,7 +231,7 @@ class CrawlEngine:
             # loses the compaction, never round data
             self.seen.seen_tbl.compact_chain(
                 r, repartition=(min(p.seen_partitions, 32), "bucket"))
-        for df in (flagged, new, frontier, sched, hits):
+        for df in (flagged, new, frontier, sched):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
 
