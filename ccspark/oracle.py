@@ -78,6 +78,7 @@ def _is_media(url: str) -> bool:
 class OracleResult:
     scheduled: list[list[dict]] = field(default_factory=list)  # per round, total order
     seen: dict = field(default_factory=dict)                   # url -> first round
+    domains: dict = field(default_factory=dict)                # host_key -> first round
     frontier: dict = field(default_factory=dict)               # url -> record (unscheduled)
     metrics: list[dict] = field(default_factory=list)
 
@@ -159,6 +160,13 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             res.seen[c["url"]] = r
             res.frontier[c["url"]] = c
         m["new_seen"] = len(new)
+        # U6 domain-seen (Statistics.java:54-60)
+        n_dom = 0
+        for c in new:
+            if c["host_key"] not in res.domains:
+                res.domains[c["host_key"]] = r
+                n_dom += 1
+        m["new_domains"] = n_dom
 
         # 4. per-host politeness budget over the WHOLE frontier, total order
         by_host: dict[str, list[dict]] = {}

@@ -128,6 +128,9 @@ class CrawlEngine:
         self.frontier_tbl = self.store.table("frontier")
         self.scheduled_tbl = self.store.table("scheduled")
         self.candidates_tbl = self.store.table("candidates")
+        # U6 domain-seen set (Statistics.java:54-60): first-seen hosts,
+        # same delta-chain mechanism as the URL-seen table
+        self.domains_tbl = self.store.table("domains")
         self.seeds_path = seeds_path
         self.robots = spark.read.parquet(robots_path)
         self.docs = spark.read.parquet(documents_path)
@@ -141,13 +144,14 @@ class CrawlEngine:
         last = self.store.last_round()
         if last is None:
             for t in (self.seen.seen_tbl, self.seen.bloom_tbl, self.frontier_tbl,
-                      self.scheduled_tbl, self.candidates_tbl):
+                      self.scheduled_tbl, self.candidates_tbl, self.domains_tbl):
                 t.rollback_to(0)
             return 0, None
         for name, tbl in [("seen", self.seen.seen_tbl), ("bloom", self.seen.bloom_tbl),
                           ("frontier", self.frontier_tbl),
                           ("scheduled", self.scheduled_tbl),
-                          ("candidates", self.candidates_tbl)]:
+                          ("candidates", self.candidates_tbl),
+                          ("domains", self.domains_tbl)]:
             v = last["tables"].get(name)
             if v is not None:
                 tbl.rollback_to(v)
@@ -173,7 +177,8 @@ class CrawlEngine:
         flagged = with_robots_blocked_flag(canon, self.robots).cache()
         fc = flagged.select(
             F.count(F.lit(1)).alias("n_canon"),
-            F.sum(F.when(~F.col("_blocked"), 1).otherwise(0)).alias("n_adm"),
+            F.coalesce(F.sum(F.when(~F.col("_blocked"), 1).otherwise(0)),
+                       F.lit(0)).alias("n_adm"),   # sum() is NULL on empty input
         ).collect()[0]
         m["candidates_in"] = obs_in.get["n"]
         m["malformed_dropped"] = m["candidates_in"] - fc.n_canon
@@ -191,6 +196,18 @@ class CrawlEngine:
         m["new_seen"] = obs_new.get["n"]
         m["dup_dropped"] = n_adm - m["new_seen"]
         m["dedup_rate"] = (m["dup_dropped"] / n_adm) if n_adm else 0.0
+
+        # U6: first-seen domains delta (anti-join against the domain chain)
+        obs_dom = Observation()
+        new_hosts = new.select("host_key").distinct()
+        if self.domains_tbl.exists():
+            new_hosts = new_hosts.join(self.domains_tbl.read_chain(),
+                                       "host_key", "left_anti")
+        new_hosts = (new_hosts
+                     .withColumn("first_round", F.lit(r))
+                     .observe(obs_dom, F.count(F.lit(1)).alias("n")))
+        versions["domains"] = self.domains_tbl.commit(new_hosts, r)
+        m["new_domains"] = obs_dom.get["n"]
 
         new_frontier = new.select(*FRONTIER_COLS)
         if self.frontier_tbl.exists():

@@ -12,8 +12,8 @@ from ccspark.scheduler import CrawlEngine
 PARAMS = CrawlParams(rounds=3)
 
 METRIC_KEYS = ["candidates_in", "malformed_dropped", "robots_blocked",
-               "dup_dropped", "new_seen", "scheduled", "frontier_depth",
-               "pages_discovered"]
+               "dup_dropped", "new_seen", "new_domains", "scheduled",
+               "frontier_depth", "pages_discovered"]
 
 
 def _run_engine(spark, fx, tmp_path, name, **kw):
@@ -69,6 +69,12 @@ class TestEngineMatchesOracle:
         eng, _ = engine
         left = {r.url for r in eng.frontier_tbl.read().select("url").collect()}
         assert left == set(oracle_small.frontier)
+
+    def test_domain_seen_set_exact(self, engine, oracle_small):
+        eng, _ = engine
+        doms = {r.host_key: r.first_round for r in
+                eng.domains_tbl.read_chain().collect()}
+        assert doms == oracle_small.domains
 
 
 class TestBloomEquivalence:
