@@ -87,7 +87,15 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                params: CrawlParams = CrawlParams()) -> OracleResult:
     docs_tbl = pq.read_table(documents_path).to_pylist()
     seeds = [r["url"] for r in pq.read_table(seeds_path).to_pylist()]
-    robots = {r["host"]: r for r in pq.read_table(robots_path).to_pylist()}
+    robots_tbl = pq.read_table(robots_path)
+    fetched_ms = robots_tbl.column("fetched_at").cast("int64").to_pylist()
+    robots = {}
+    for r, ms in zip(robots_tbl.to_pylist(), fetched_ms):
+        if (params.robots_max_age_ms is not None
+                and params.crawl_as_of_ms is not None
+                and ms < params.crawl_as_of_ms - params.robots_max_age_ms):
+            continue  # U12 staleness: stale rows behave as absent
+        robots[r["host"]] = r
     docs_by_url = {d["page_url"]: d for d in docs_tbl}
 
     res = OracleResult()

@@ -29,6 +29,12 @@ class CrawlParams:
     #: rounds (Iceberg rewrite-data-files analog); None = never. Purely a
     #: maintenance operation — results are unchanged (tested).
     compact_seen_every: int | None = None
+    #: robots-cache staleness (U12): entries older than robots_max_age_ms at
+    #: crawl_as_of_ms are treated as absent (no disallow, default crawl
+    #: delay). Both must be set to enable; as-of is an explicit parameter —
+    #: never wall clock — so runs stay reproducible.
+    robots_max_age_ms: int | None = None
+    crawl_as_of_ms: int | None = None
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

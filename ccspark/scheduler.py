@@ -132,7 +132,18 @@ class CrawlEngine:
         # same delta-chain mechanism as the URL-seen table
         self.domains_tbl = self.store.table("domains")
         self.seeds_path = seeds_path
-        self.robots = spark.read.parquet(robots_path)
+        robots = spark.read.parquet(robots_path)
+        if (params.robots_max_age_ms is not None
+                and params.crawl_as_of_ms is not None):
+            # U12 staleness: stale cache rows behave as absent (unknown
+            # host → no disallow, default crawl delay)
+            cutoff = params.crawl_as_of_ms - params.robots_max_age_ms
+            # fetched_at arrives as TIMESTAMP_NTZ; session TZ is UTC so the
+            # NTZ→TZ cast is identity and unix_millis is the stored epoch
+            robots = robots.filter(
+                F.unix_millis(F.col("fetched_at").cast("timestamp"))
+                >= F.lit(cutoff))
+        self.robots = robots
         self.docs = spark.read.parquet(documents_path)
         self._prev_depth = 0  # frontier depth after the last completed round
 
@@ -163,6 +174,8 @@ class CrawlEngine:
     # -- one round -----------------------------------------------------------
 
     def run_round(self, r: int, candidates: DataFrame) -> DataFrame:
+        import time as _time
+        t0 = _time.perf_counter()
         p = self.params
         m: dict = {"round": r}
 
@@ -241,6 +254,9 @@ class CrawlEngine:
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
         m["pages_discovered"] = obs_hits.get["n"]
 
+        # A13 phase-timer analog: wall time is observability only — never
+        # part of the oracle-checked metric set
+        m["wall_s"] = round(_time.perf_counter() - t0, 3)
         self.store.commit_round(r, versions, m)
         if (p.compact_seen_every is not None
                 and (r + 1) % p.compact_seen_every == 0):

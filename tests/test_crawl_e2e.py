@@ -172,6 +172,40 @@ class TestCompaction:
         assert len(tail) < len(tbl.versions())
 
 
+class TestRobotsStaleness:
+    def test_stale_robots_treated_as_absent(self, spark, fx_small, tmp_path):
+        """U12 TTL: with every cache row stale, no host is blocked and all
+        budgets use the default delay — engine must still equal the oracle
+        under the same staleness params."""
+        fixture_ts = 1767225600000  # fetched_at in fixtures.py
+        params = CrawlParams(rounds=2, robots_max_age_ms=3600_000,
+                             crawl_as_of_ms=fixture_ts + 7200_000)
+        want = run_oracle(fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], params)
+        assert all(m["robots_blocked"] == 0 for m in want.metrics)
+        eng = CrawlEngine(spark, str(tmp_path / "ttl"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"], params=params)
+        metrics = eng.run()
+        got = _scheduled_lists(eng)
+        for r, w in enumerate(want.scheduled):
+            assert got.get(r, []) == [(c["url"], c["priority"]) for c in w]
+        for g, w in zip(metrics, want.metrics):
+            for k in METRIC_KEYS:
+                assert g[k] == w[k]
+
+    def test_fresh_robots_still_apply(self, spark, fx_small, tmp_path):
+        fixture_ts = 1767225600000
+        params = CrawlParams(rounds=1, robots_max_age_ms=86400_000,
+                             crawl_as_of_ms=fixture_ts + 3600_000)
+        want = run_oracle(fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], params)
+        eng = CrawlEngine(spark, str(tmp_path / "fresh"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"], params=params)
+        metrics = eng.run()
+        assert metrics[0]["robots_blocked"] == want.metrics[0]["robots_blocked"]
+        assert metrics[0]["scheduled"] == want.metrics[0]["scheduled"]
+
+
 class TestSpanInvariant:
     def test_span_sequence_preserved(self, spark, fx_small):
         """input_hint: per-row span-sequence equality (kind, text,
