@@ -47,6 +47,11 @@ def get_spark(app_name: str = "ccspark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's empty-relation propagation ELIMINATES CollectMetrics nodes
+        # on runtime-empty branches, so Observation.get would hang/fail on
+        # empty rounds; the shortcut is worth less than reliable metrics
+        .config("spark.sql.adaptive.optimizer.excludedRules",
+                "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size balances two measured effects: bigger batches
         # cut JVM↔Python socket round-trips (expensive under syscall-

@@ -186,6 +186,9 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             delay = rb["crawl_delay"] if rb else params.default_crawl_delay
             budget = max(0, math.floor(params.round_seconds / delay))
             recs.sort(key=order_key)
+            for idx, c in enumerate(recs[:budget]):
+                # same op order as the engine: (rank-1)*delay then *1000
+                c["fetch_offset_ms"] = int(idx * delay * 1000)
             scheduled.extend(recs[:budget])
         scheduled.sort(key=order_key)
         if params.max_scheduled_per_round is not None:

@@ -85,3 +85,21 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
         sched = (sched.orderBy(*order_cols())
                  .limit(params.max_scheduled_per_round))
     return sched
+
+
+def with_fetch_offsets(sched: DataFrame, robots: DataFrame,
+                       params: CrawlParams) -> DataFrame:
+    """Assign each scheduled URL its in-round fetch start offset:
+    rank-within-host × crawl_delay(host) — the explicit, per-host form of
+    the reference's inter-fetch interval stamping
+    (ProcessingService.java:235-240 lastDownLoadCall). Deterministic:
+    rank follows the frontier total order."""
+    rb = robots.select(F.col("host").alias("host_key"),
+                       F.col("crawl_delay").alias("_delay"))
+    delay = F.coalesce(F.col("_delay"), F.lit(params.default_crawl_delay))
+    w = Window.partitionBy("host_key").orderBy(*order_cols())
+    return (sched.join(rb, "host_key", "left")
+            .withColumn("fetch_offset_ms",
+                        ((F.row_number().over(w) - 1) * delay * 1000)
+                        .cast("long"))
+            .drop("_delay"))

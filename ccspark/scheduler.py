@@ -26,7 +26,8 @@ from pyspark.sql import (DataFrame, Observation, SparkSession, Window,
 from .extract import extract_links
 from .fetchsim import discovered_docs, with_fetch_sim
 from .params import CrawlParams
-from .politeness import order_cols, schedule_frontier, with_robots_blocked_flag
+from .politeness import (order_cols, schedule_frontier, with_fetch_offsets,
+                         with_robots_blocked_flag)
 from .seen import SeenSet, with_bucket
 from .tables import SnapshotStore
 from .udfs import canon_udf, host_udf, normalize_udf, priority_udf, surt_udf
@@ -46,6 +47,17 @@ CANDIDATE_SCHEMA = T.StructType([
 FRONTIER_COLS = ["url", "url_hash", "bucket", "host", "host_key", "surt",
                  "priority", "depth", "kind", "alt", "parent_txt",
                  "dom_depth", "dom_sib", "src_doc_id", "offset"]
+
+
+def _observed_count(obs: Observation, fallback: DataFrame) -> int:
+    """obs.get['n'] with a count() fallback: an optimizer that proves a
+    branch empty may eliminate the CollectMetrics node entirely (the AQE
+    rule is excluded in get_spark, but sessions built elsewhere — e.g.
+    the driver harness — may keep it)."""
+    try:
+        return obs.get["n"]
+    except Exception:
+        return fallback.count()
 
 
 def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
@@ -193,7 +205,7 @@ class CrawlEngine:
             F.coalesce(F.sum(F.when(~F.col("_blocked"), 1).otherwise(0)),
                        F.lit(0)).alias("n_adm"),   # sum() is NULL on empty input
         ).collect()[0]
-        m["candidates_in"] = obs_in.get["n"]
+        m["candidates_in"] = _observed_count(obs_in, candidates)
         m["malformed_dropped"] = m["candidates_in"] - fc.n_canon
         m["robots_blocked"] = fc.n_canon - fc.n_adm
         n_adm = fc.n_adm
@@ -206,7 +218,7 @@ class CrawlEngine:
                .observe(obs_new, F.count(F.lit(1)).alias("n"))
                .cache())
         versions = self.seen.add(new, r)
-        m["new_seen"] = obs_new.get["n"]
+        m["new_seen"] = _observed_count(obs_new, new)
         m["dup_dropped"] = n_adm - m["new_seen"]
         m["dedup_rate"] = (m["dup_dropped"] / n_adm) if n_adm else 0.0
 
@@ -220,7 +232,7 @@ class CrawlEngine:
                      .withColumn("first_round", F.lit(r))
                      .observe(obs_dom, F.count(F.lit(1)).alias("n")))
         versions["domains"] = self.domains_tbl.commit(new_hosts, r)
-        m["new_domains"] = obs_dom.get["n"]
+        m["new_domains"] = _observed_count(obs_dom, new_hosts)
 
         new_frontier = new.select(*FRONTIER_COLS)
         if self.frontier_tbl.exists():
@@ -234,9 +246,10 @@ class CrawlEngine:
         sched = (schedule_frontier(frontier, self.robots, p)
                  .observe(obs_sched, F.count(F.lit(1)).alias("n"))
                  .cache())
-        fetched = with_fetch_sim(sched).withColumn("fetch_round", F.lit(r))
+        fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p))
+                   .withColumn("fetch_round", F.lit(r)))
         versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
-        m["scheduled"] = obs_sched.get["n"]
+        m["scheduled"] = _observed_count(obs_sched, sched)
 
         remaining = frontier.join(sched.select("url"), "url", "left_anti")
         versions["frontier"] = self.frontier_tbl.commit(
@@ -252,7 +265,7 @@ class CrawlEngine:
                 .observe(obs_hits, F.count(F.lit(1)).alias("n")))
         next_cand = extract_links(hits, follow_links=p.follow_links)
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
-        m["pages_discovered"] = obs_hits.get["n"]
+        m["pages_discovered"] = _observed_count(obs_hits, hits)
 
         # A13 phase-timer analog: wall time is observability only — never
         # part of the oracle-checked metric set

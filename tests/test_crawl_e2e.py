@@ -70,6 +70,17 @@ class TestEngineMatchesOracle:
         left = {r.url for r in eng.frontier_tbl.read().select("url").collect()}
         assert left == set(oracle_small.frontier)
 
+    def test_fetch_offsets_match(self, engine, oracle_small):
+        """Per-host in-round fetch offsets (the reference's inter-fetch
+        interval, explicit) must equal the oracle's rank×delay stamps."""
+        eng, _ = engine
+        rows = (eng.scheduled_rounds()
+                .select("fetch_round", "url", "fetch_offset_ms").collect())
+        got = {(r.fetch_round, r.url): r.fetch_offset_ms for r in rows}
+        for r, sched in enumerate(oracle_small.scheduled):
+            for c in sched:
+                assert got[(r, c["url"])] == c["fetch_offset_ms"], c["url"]
+
     def test_domain_seen_set_exact(self, engine, oracle_small):
         eng, _ = engine
         doms = {r.host_key: r.first_round for r in
