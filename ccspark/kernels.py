@@ -172,6 +172,34 @@ def strip_whitespace(s: pd.Series) -> pd.Series:
 # tests/test_kernels.py::TestVectorizedDecompose.
 _FAST_RE = re.compile(r"^[^:]*:(?://([^/?#]*))?(.*)$", re.DOTALL)
 
+# One-pass decomposition: scheme check + host (userinfo/port stripped) +
+# path + query in a SINGLE regex match per row — fuses the _ABS_RE match,
+# the _FAST_RE match, and the rsplit('@')/split(':') host cleanup that
+# round 1 did as 4-6 separate Python ops per row. group1 = host (None
+# when the URL has no '//' authority), group2 = path, group3 = query.
+# `[^/?#]*@` is greedy, so it consumes through the LAST '@' of the
+# authority (== rsplit('@', 1)), and `[^/?#:]*` stops the host at the
+# first ':' (== split(':', 1)[0]). Equivalence with split_url (the spec)
+# is pinned by tests/test_kernels.py::TestVectorizedDecompose.
+_DECOMP_ONE_RE = re.compile(
+    r"^(?i:https?|ftp|file|jar|mailto):"
+    r"(?://(?:[^/?#]*@)?([^/?#:]*)(?::[^/?#]*)?)?"
+    r"([^?#]*)(?:\?([^#]*))?")
+
+
+def _decomp_match(u):
+    return _DECOMP_ONE_RE.match(u) if isinstance(u, str) else None
+
+
+def decompose_batch(urls: pd.Series):
+    """(host, path, query) Series for absolute URLs; None rows elsewhere.
+    One regex pass per row; group access afterwards is C-level."""
+    ms = urls.map(_decomp_match)
+    host = ms.map(lambda m: None if m is None else (m.group(1) or ""))
+    path = ms.map(lambda m: None if m is None else m.group(2))
+    query = ms.map(lambda m: None if m is None else (m.group(3) or ""))
+    return host, path, query
+
 
 def _fast_host(u) -> str | None:
     if not isinstance(u, str) or not _ABS_RE.match(u):
@@ -221,7 +249,9 @@ def normalize_series(src: pd.Series, page: pd.Series) -> pd.Series:
 
 def hosts_of(urls: pd.Series) -> pd.Series:
     """java.net.URL#getHost for absolute URLs; None otherwise."""
-    return urls.map(_fast_host)
+    return urls.map(
+        lambda u: (lambda m: None if m is None else (m.group(1) or ""))(
+            _decomp_match(u)))
 
 
 def strip_www(hosts: pd.Series) -> pd.Series:
@@ -264,9 +294,34 @@ def _fast_surt(u) -> str | None:
     return key + "?" + query if query else key
 
 
+def _surt_host_part(h: str) -> str:
+    """reversed-dot-join of a lowercased, www-stripped host."""
+    return ",".join(reversed(h.split(".")))
+
+
+def surt_from_parts(host: pd.Series, path: pd.Series,
+                    query: pd.Series) -> pd.Series:
+    """SURT key from a decomposed URL batch. The per-element reverse-join
+    runs once per DISTINCT host in the batch (pd.factorize): a crawl
+    batch has far fewer hosts than URLs, so this is the scalable shape."""
+    h = host.str.lower().str.replace(r"^www\.", "", regex=True)
+    codes, uniques = pd.factorize(h)
+    rev = np.empty(len(uniques), dtype=object)
+    for i, x in enumerate(uniques):
+        rev[i] = _surt_host_part(x)
+    keyed = pd.Series(
+        np.where(codes >= 0, rev[codes.clip(min=0)], None),
+        index=host.index, dtype=object)
+    out = keyed + ")" + path
+    q = query.fillna("")
+    return out.where(q == "", out + "?" + q)
+
+
 def surt_series(urls: pd.Series) -> pd.Series:
-    """surt_one over a series via the compiled fast path."""
-    return urls.map(_fast_surt)
+    """surt_one over a series: one decompose pass + per-distinct-host
+    reverse-join (equivalence with surt_one pinned by tests)."""
+    host, path, query = decompose_batch(urls)
+    return surt_from_parts(host, path, query)
 
 
 def is_media_series(urls: pd.Series) -> pd.Series:
@@ -333,6 +388,40 @@ def extract_dims_one(url: str) -> tuple[int, int]:
     return w, h
 
 
+def extract_dims_batch(urls: pd.Series) -> np.ndarray:
+    """extract_dims_one over a batch, (n, 2) float array of (w, h).
+
+    One vectorized findall pass finds the dim-looking substrings; the
+    overwhelmingly common case — exactly one match, no 'x', ≤9 digits —
+    is then resolved with numpy ops; anything else (multi-match, NxM,
+    potential int overflow) falls back to the exact per-row port.
+    Equivalence is pinned by tests (hypothesis + golden vectors)."""
+    out = np.zeros((len(urls), 2), dtype=np.float64)
+    matches = urls.str.findall(_DIMS_RE_NC)
+    nm = matches.map(len).to_numpy()
+    slow = nm > 1
+    single_idx = np.flatnonzero(nm == 1)
+    if len(single_idx):
+        els = matches.iloc[single_idx].str[0]
+        digits = els.str.replace(r"[^\d]", "", regex=True)
+        # ≤9 digits can never overflow int32 (max 999,999,999 < 2^31-1),
+        # so the fast path needs no overflow branch at all
+        simple = (~els.str.contains("x", regex=False)
+                  & (digits.str.len() <= 9)).to_numpy()
+        fast_idx = single_idx[simple]
+        if len(fast_idx):
+            e = els[simple]
+            d = digits[simple].astype(np.int64).to_numpy()
+            isw = (e.str.contains("w", regex=False)
+                   | e.str.contains("s", regex=False)).to_numpy()
+            out[fast_idx, 0] = np.where(isw, d, 0)
+            out[fast_idx, 1] = np.where(isw, 0, d)
+        slow[single_idx[~simple]] = True
+    if slow.any():
+        out[slow] = [extract_dims_one(u) for u in urls.to_numpy()[slow]]
+    return out
+
+
 # deterministic fixed weights replacing the two RandomForests
 # (ProcessingService.java:200-230) so crawl ordering is reproducible.
 # Same 23 slots/order as createFeatureData (ProcessingService.java:692-724).
@@ -363,10 +452,35 @@ FEATURE_WEIGHTS = np.array([
 ], dtype=np.float64)
 
 
-def feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
+def _lhost_one(u) -> str:
+    m = _decomp_match(u)
+    if m is None:
+        return ""
+    h = m.group(1)
+    return h.lower() if h else ""
+
+
+def lhosts_factorized(urls: pd.Series) -> pd.Series:
+    """lowercase host (or "") per url, extracting once per DISTINCT url —
+    page URLs repeat heavily in a crawl batch (many links per page)."""
+    codes, uniques = pd.factorize(urls)
+    if len(uniques) == 0:
+        return pd.Series([""] * len(urls), index=urls.index, dtype=object)
+    vals = np.empty(len(uniques), dtype=object)
+    for i, u in enumerate(uniques):
+        vals[i] = _lhost_one(u)
+    return pd.Series(np.where(codes >= 0, vals[codes.clip(min=0)], ""),
+                     index=urls.index, dtype=object)
+
+
+def feature_matrix(pdf: pd.DataFrame,
+                   im_host_lower: pd.Series | None = None) -> np.ndarray:
     """23-dim feature matrix; pdf columns: url (normalized), page_url, kind,
     alt, parent_txt, dom_depth, dom_sib. Port of getFeatureVector
-    (ProcessingService.java:595-689); dims via extractNumeric."""
+    (ProcessingService.java:595-689); dims via extractNumeric.
+
+    im_host_lower: optionally the precomputed lowercase host of `url`
+    (the fused canon kernel already has it — skip re-extraction)."""
     n = len(pdf)
     f = np.zeros((n, 23), dtype=np.float64)
     url = pdf["url"].fillna("")
@@ -377,22 +491,17 @@ def feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
         f[:, j] = (suffix == sfx).to_numpy(dtype=np.float64)
     f[:, 5] = pdf["dom_depth"].fillna(0).to_numpy(dtype=np.float64)
     f[:, 6] = pdf["dom_sib"].fillna(0).to_numpy(dtype=np.float64)
-    # the per-row dims loop only runs where the dims regex can match at all
-    dims = np.zeros((n, 2), dtype=np.float64)
-    has_dims = url.str.contains(_DIMS_RE_NC).to_numpy()
-    if has_dims.any():
-        dims[has_dims] = [extract_dims_one(u)
-                          for u in url.to_numpy()[has_dims]]
+    dims = extract_dims_batch(url)
     f[:, 7] = dims[:, 0] > 0
     f[:, 8] = dims[:, 0]
     f[:, 9] = dims[:, 1] > 0
     f[:, 10] = dims[:, 1]
 
-    def _lhost(u):
-        h = _fast_host(u)
-        return h.lower() if h else ""
-    im_host = url.map(_lhost)
-    pg_host = pdf["page_url"].fillna("").map(_lhost)
+    if im_host_lower is None:
+        im_host = url.map(_lhost_one)
+    else:
+        im_host = im_host_lower.fillna("")
+    pg_host = lhosts_factorized(pdf["page_url"].fillna(""))
     f[:, 11] = ((im_host != "") & (im_host == pg_host)).to_numpy(dtype=np.float64)
     kind = pdf["kind"].fillna("")
     for j, el in enumerate(["img", "link", "a", "embed", "iframe", "object"]):
@@ -407,18 +516,41 @@ def feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
     return f
 
 
-def priority_scores(pdf: pd.DataFrame) -> pd.Series:
+def priority_scores(pdf: pd.DataFrame,
+                    im_host_lower: pd.Series | None = None) -> pd.Series:
     """Deterministic priority replacing the dual-RF arbitration — fixed
     weights over the reference's exact 23 features.
 
     The reduction is an explicit left-to-right sum (NOT a BLAS matmul):
     BLAS reorders the accumulation depending on batch shape, which would
     make the float differ between Arrow batch sizes and the oracle."""
-    f = feature_matrix(pdf)
+    f = feature_matrix(pdf, im_host_lower=im_host_lower)
     acc = np.zeros(len(pdf), dtype=np.float64)
     for j in range(f.shape[1]):
         acc += f[:, j] * FEATURE_WEIGHTS[j]
     return pd.Series(acc, index=pdf.index)
+
+
+def canon_block(src: pd.Series, page: pd.Series, kind: pd.Series,
+                alt: pd.Series, parent_txt: pd.Series,
+                dom_depth: pd.Series, dom_sib: pd.Series) -> pd.DataFrame:
+    """Fused U1+U2+U3+U4-key+U11 batch kernel: ONE URL decomposition pass
+    shared by host, surt AND the priority same-domain feature (round 1
+    extracted the host up to four times per row across the chained
+    kernels). Returns columns url/host/surt/priority."""
+    url = normalize_series(strip_whitespace(src), strip_whitespace(page))
+    ms = url.map(_decomp_match)
+    host = ms.map(lambda m: None if m is None else (m.group(1) or ""))
+    path = ms.map(lambda m: None if m is None else m.group(2))
+    query = ms.map(lambda m: None if m is None else (m.group(3) or ""))
+    surt = surt_from_parts(host, path, query)
+    pri = priority_scores(pd.DataFrame({
+        "url": url, "page_url": page, "kind": kind, "alt": alt,
+        "parent_txt": parent_txt, "dom_depth": dom_depth,
+        "dom_sib": dom_sib,
+    }), im_host_lower=host.str.lower())
+    return pd.DataFrame(
+        {"url": url, "host": host, "surt": surt, "priority": pri})
 
 
 # --------------------------------------------------------------------------

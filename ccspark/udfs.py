@@ -72,16 +72,12 @@ def canon_udf(src: pd.Series, page: pd.Series, kind: pd.Series,
               alt: pd.Series, parent_txt: pd.Series,
               dom_depth: pd.Series, dom_sib: pd.Series) -> pd.DataFrame:
     """Fused U1+U2+U3+U4-key+U11 kernel: ONE Arrow exchange per batch
-    instead of four chained pandas UDFs. Fusing matters doubly here: it
-    quarters the JVM↔Python socket round-trips (expensive under
-    syscall-intercepting sandboxes and on real clusters alike) and lets
-    one worker pool serve the whole canonicalize stage. Output struct is
-    exploded JVM-side; rows with null url/host are dropped there."""
-    url = K.normalize_series(K.strip_whitespace(src), K.strip_whitespace(page))
-    host = K.hosts_of(url)
-    surt = K.surt_series(url)
-    pri = K.priority_scores(pd.DataFrame({
-        "url": url, "page_url": page, "kind": kind, "alt": alt,
-        "parent_txt": parent_txt, "dom_depth": dom_depth, "dom_sib": dom_sib,
-    }))
-    return pd.DataFrame({"url": url, "host": host, "surt": surt, "priority": pri})
+    instead of four chained pandas UDFs, and one URL decomposition pass
+    shared by host/surt/priority (kernels.canon_block). Fusing matters
+    doubly: it quarters the JVM↔Python socket round-trips (expensive
+    under syscall-intercepting sandboxes and on real clusters alike) and
+    one worker per task slot keeps total processes == cores — the chained
+    layout runs 4 workers per slot, which oversubscribes exactly-sized
+    executors. Output struct is exploded JVM-side; rows with null
+    url/host are dropped there."""
+    return K.canon_block(src, page, kind, alt, parent_txt, dom_depth, dom_sib)
