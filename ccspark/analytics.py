@@ -266,6 +266,82 @@ SQL_DISCRIMINATIVE_WORDS = (
     " FROM big FULL OUTER JOIN small ON big.word = small.word")
 
 # ---------------------------------------------------------------------------
+# A10 containment pruning (NgamFeatureSelection.java:50-142): a capped
+# n-gram vocab drops every gram that is a (case-insensitive) substring of
+# a LONGER vocab gram, then scores big−small (flat 50 when the gram never
+# occurs in the small class; kept only while positive). The vocab is
+# capped FIRST (top-V by big frequency) so the containment self-join is a
+# broadcast nested-loop over V×V, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_PRUNE_NGRAM_MIN = 3    # NgamFeatureSelection.java:24
+_PRUNE_NGRAM_MAX = 5    # NgamFeatureSelection.java:25
+_PRUNE_VOCAB_CAP = 300
+
+_GRAMS_SPARK = (
+    f"flatten(transform(sequence({_PRUNE_NGRAM_MIN}, {_PRUNE_NGRAM_MAX}),"
+    " n -> CASE WHEN length(word) >= n THEN"
+    "  transform(sequence(1, length(word) - n + 1),"
+    "            i -> lower(substring(word, i, n)))"
+    "  ELSE array() END))")
+
+_GRAMS_DUCK = (
+    f"flatten(list_transform(generate_series({_PRUNE_NGRAM_MIN}, {_PRUNE_NGRAM_MAX}),"
+    " n -> CASE WHEN len(word) >= n THEN"
+    "  list_transform(generate_series(1, len(word) - n + 1),"
+    "                 i -> lower(substr(word, i, n)))"
+    "  ELSE [] END))")
+
+
+def q_ngram_pruned_vocab(spark, sf_dir):
+    # big/small are TWO NAMED frequency sets (the reference reads
+    # ngrams_big.txt vs ngrams_small.txt) — here the 'en' and 'fr'
+    # slices; pooling ALL other languages as 'small' would drown every
+    # big count and make the score filter vacuously empty.
+    grams = (words_df(spark, sf_dir)
+             .select("lang", F.explode(F.expr(_GRAMS_SPARK)).alias("gram")))
+    big = (grams.filter(F.col("lang") == "en")
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("c")))
+    small = (grams.filter(F.col("lang") == "fr")
+             .groupBy("gram").agg(F.count(F.lit(1)).alias("s_c")))
+    cap = (big.orderBy(F.col("c").desc(), F.col("gram").asc())
+           .limit(_PRUNE_VOCAB_CAP))
+    longer = cap.select(F.col("gram").alias("ogram"))
+    pruned = cap.join(
+        F.broadcast(longer),
+        (F.length("ogram") > F.length("gram"))
+        & F.expr("contains(ogram, gram)"),
+        "left_anti")
+    score = (F.when(F.col("s_c").isNull(), F.lit(50))
+             .otherwise(F.col("c") - F.col("s_c")))
+    return (pruned.join(small, "gram", "left")
+            .withColumn("score", score)
+            .filter(F.col("score") > 0)
+            .select("gram", F.col("c").cast("bigint").alias("big_cnt"),
+                    F.coalesce("s_c", F.lit(0)).cast("bigint").alias("small_cnt"),
+                    F.col("score").cast("bigint").alias("score")))
+
+
+SQL_NGRAM_PRUNED_VOCAB = (
+    "WITH w AS (" + WORDS_NONEMPTY + "),"
+    " grams AS (SELECT lang, unnest(" + _GRAMS_DUCK + ") AS gram FROM w),"
+    " big AS (SELECT gram, count(*) AS c FROM grams WHERE lang = 'en'"
+    "   GROUP BY gram),"
+    " small AS (SELECT gram, count(*) AS s_c FROM grams WHERE lang = 'fr'"
+    "   GROUP BY gram),"
+    f" cap AS (SELECT gram, c FROM big ORDER BY c DESC, gram ASC"
+    f"   LIMIT {_PRUNE_VOCAB_CAP}),"
+    " pruned AS (SELECT * FROM cap v WHERE NOT EXISTS ("
+    "   SELECT 1 FROM cap o WHERE length(o.gram) > length(v.gram)"
+    "   AND contains(o.gram, v.gram)))"
+    " SELECT v.gram, CAST(v.c AS BIGINT) AS big_cnt,"
+    "  CAST(coalesce(s.s_c, 0) AS BIGINT) AS small_cnt,"
+    "  CAST(CASE WHEN s.gram IS NULL THEN 50 ELSE v.c - s.s_c END AS BIGINT)"
+    "   AS score"
+    " FROM pruned v LEFT JOIN small s USING (gram)"
+    " WHERE s.gram IS NULL OR v.c - s.s_c > 0")
+
+# ---------------------------------------------------------------------------
 # A12 — job counters (TagCounterMap.java:17-20 enum counters) as one
 # aggregate row of condition counts
 # ---------------------------------------------------------------------------
@@ -542,12 +618,28 @@ SQL_DISTINCT_USERS_BY_TYPE = (
 
 
 def q_approx_distinct_users(spark, sf_dir):
-    """A6 approximate path (HLL++). No SQL oracle: DuckDB's approx sketch
-    differs by construction — rows-only check; the exact twin above is
-    the value-checked one."""
-    return (t(spark, sf_dir, "events")
-            .groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_uniq")))
+    """A6 approximate path (HLL++). DuckDB's sketch differs by
+    construction, so the oracle checks a TOLERANCE contract instead of
+    the raw estimate: the query returns the exact count (value-matched)
+    plus an in-Spark assertion that the HLL estimate lands within 15%
+    (3× the default 5% rsd) of it; the twin returns the same exact count
+    with the assertion vacuously 1. HLL is deterministic for fixed
+    input, so the bound is a stable, reproducible check — not flaky."""
+    ev = t(spark, sf_dir, "events")
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("exact_uniq")))
+    ap = (ev.groupBy("event_type")
+          .agg(F.approx_count_distinct("user_id").alias("approx_uniq")))
+    within = (F.abs(F.col("approx_uniq") - F.col("exact_uniq"))
+              / F.col("exact_uniq") <= F.lit(0.15))
+    return (ex.join(ap, "event_type")
+            .select("event_type", "exact_uniq",
+                    within.cast("bigint").alias("within_tol")))
+
+
+SQL_APPROX_DISTINCT_USERS = (
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,"
+    " CAST(1 AS BIGINT) AS within_tol FROM events GROUP BY event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -662,6 +754,7 @@ REG: dict[str, tuple] = {
     "topk_per_key": (q_topk_per_key, SQL_TOPK_PER_KEY),
     "class_balance": (q_class_balance, SQL_CLASS_BALANCE),
     "discriminative_words": (q_discriminative_words, SQL_DISCRIMINATIVE_WORDS),
+    "ngram_pruned_vocab": (q_ngram_pruned_vocab, SQL_NGRAM_PRUNED_VOCAB),
     "counters": (q_counters, SQL_COUNTERS),
     "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
     "region_members": (q_region_members, SQL_REGION_MEMBERS),
@@ -675,6 +768,6 @@ REG: dict[str, tuple] = {
     "fetch_worthy": (q_fetch_worthy, SQL_FETCH_WORTHY),
     "http_body_split": (q_http_body_split, SQL_HTTP_BODY_SPLIT),
     "distinct_users_by_type": (q_distinct_users_by_type, SQL_DISTINCT_USERS_BY_TYPE),
-    "approx_distinct_users": (q_approx_distinct_users, None),
+    "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "span_extract": (q_span_extract, SQL_SPAN_EXTRACT),
 }

@@ -90,8 +90,9 @@ SQL_DEDUP_EXACT = (
 # ---------------------------------------------------------------------------
 
 
-def minhash_df(spark, sf_dir, max_doc: int | None = None) -> DataFrame:
-    sh = shingles_df(spark, sf_dir, max_doc)
+def minhash_df(spark, sf_dir, max_doc: int | None = None,
+               shingles: DataFrame | None = None) -> DataFrame:
+    sh = shingles_df(spark, sf_dir, max_doc) if shingles is None else shingles
     banded = sh.select(
         "doc_id", "shingle",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
@@ -127,14 +128,20 @@ SQL_MINHASH_SIGNATURES = (
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    mh = minhash_df(spark, sf_dir)
+    # The shingle pipeline (tokenize → explode → distinct) fans out into
+    # FOUR consumers below (minhash, sizes, both sides of the intersect
+    # join). persist() materializes it once; without it each branch
+    # re-tokenizes and re-explodes the full corpus — at 100 TB that is
+    # three redundant full-corpus passes. (The ContextCleaner unpersists
+    # the cache when the plan is garbage collected.)
+    sh = shingles_df(spark, sf_dir).persist()
+    mh = minhash_df(spark, sf_dir, shingles=sh)
     a, b = mh.alias("a"), mh.alias("b")
     pairs = (a.join(b, ["band", "minhash"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sh = shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -95,7 +95,14 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                 and params.crawl_as_of_ms is not None
                 and ms < params.crawl_as_of_ms - params.robots_max_age_ms):
             continue  # U12 staleness: stale rows behave as absent
-        robots[r["host"]] = r
+        # one row per host: freshest generation wins, ties broken by
+        # content — order-independent, mirroring the engine's max_by
+        # reduction of the cache (scheduler.CrawlEngine.__init__)
+        cur = robots.get(r["host"])
+        if cur is None or ((ms, r["crawl_delay"], tuple(r["disallow"]))
+                           >= (cur["_ms"], cur["crawl_delay"],
+                               tuple(cur["disallow"]))):
+            robots[r["host"]] = dict(r, _ms=ms)
     docs_by_url = {d["page_url"]: d for d in docs_tbl}
 
     res = OracleResult()

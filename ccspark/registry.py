@@ -9,11 +9,13 @@ semantics are pinned by the pure-Python oracle tests instead
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
 
-from . import analytics, dedup, multimodal, similarity, textops
+from . import analytics, dedup, multimodal, similarity, textops, warc
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -28,9 +30,16 @@ _CRAWL_PARAMS = CrawlParams(rounds=2)
 
 def q_crawl_scheduled(spark, sf_dir):
     """Two full scheduling rounds on the sf-matched fixture; returns the
-    scheduled rows in crawl total order (north_rule's core artifact)."""
+    scheduled rows in crawl total order (north_rule's core artifact).
+
+    State lives at a deterministic per-sf path, wiped at the start of
+    each invocation — repeated driver/bench runs reuse ONE directory
+    instead of accumulating mkdtemp snapshot state in /tmp."""
     fx = fixture_for_sf(sf_dir)
-    state = tempfile.mkdtemp(prefix="ccspark_state_")
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "ccspark_state_" + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(state, ignore_errors=True)
     eng = CrawlEngine(spark, state, fx["documents"], fx["seeds"], fx["robots"],
                       params=_CRAWL_PARAMS)
     eng.run()
@@ -53,10 +62,32 @@ def q_crawl_span_kinds(spark, sf_dir):
     return tag_like_counts(spark.read.parquet(fx["documents"]))
 
 
+def q_crawl_priority_eval(spark, sf_dir):
+    """Classifier-eval parity for the PRIORITY scorer (U11): the
+    priority>0.5 threshold predicts BIG, ground truth = the media-URL
+    predicate (F6), scored with FakeArffCreator.java:54-119's confusion/
+    F1 arithmetic. The 23-feature kernel has no SQL twin, so this row is
+    rows-only for the driver; exact counts are pinned against the
+    pure-Python oracle in tests/test_crawl_e2e.py."""
+    from pyspark.sql import functions as FF
+
+    from .kernels import SPARK_MEDIA_RE
+    from .scheduler import canonicalize
+    from .similarity import confusion_f1
+
+    fx = fixture_for_sf(sf_dir)
+    docs = spark.read.parquet(fx["documents"])
+    canon = canonicalize(extract_links(docs, follow_links=True), 0)
+    return confusion_f1(canon.select(
+        (FF.col("priority") > 0.5).alias("pred_big"),
+        FF.col("url").rlike(SPARK_MEDIA_RE).alias("truth_big")))
+
+
 CRAWL_REG = {
     "crawl_scheduled_2rounds": (q_crawl_scheduled, None),
     "crawl_extract_links": (q_crawl_extract_links, None),
     "crawl_span_kinds": (q_crawl_span_kinds, None),
+    "crawl_priority_eval": (q_crawl_priority_eval, None),
 }
 
 # ---------------------------------------------------------------------------
@@ -64,7 +95,7 @@ CRAWL_REG = {
 # ---------------------------------------------------------------------------
 
 ALL: dict[str, tuple] = {}
-for mod in (analytics, dedup, similarity, textops, multimodal):
+for mod in (analytics, dedup, similarity, textops, multimodal, warc):
     overlap = ALL.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
     ALL.update(mod.REG)

@@ -155,37 +155,62 @@ class CrawlEngine:
             robots = robots.filter(
                 F.unix_millis(F.col("fetched_at").cast("timestamp"))
                 >= F.lit(cutoff))
+        # A refreshed cache can hold several generations per host; the
+        # politeness joins assume ONE row per host (fan-out would inflate
+        # n_canon/robots_blocked and duplicate candidates until dedup).
+        # Keep the freshest generation, ties broken by content — an
+        # explicitly order-independent rule (snapshot tables have no row
+        # order); run_oracle applies the identical pick.
+        payload = [c for c in robots.columns if c != "host"]
+        pick = F.struct(F.unix_millis(F.col("fetched_at").cast("timestamp")),
+                        F.col("crawl_delay"), F.col("disallow"))
+        robots = (robots.groupBy("host")
+                  .agg(F.max_by(F.struct(*payload), pick).alias("_r"))
+                  .select("host", "_r.*"))
         self.robots = robots
         self.docs = spark.read.parquet(documents_path)
         self._prev_depth = 0  # frontier depth after the last completed round
 
     # -- resumability --------------------------------------------------------
 
-    def resume_round(self) -> tuple[int, DataFrame | None]:
-        """(next_round, its candidates). Rolls back any table versions newer
-        than the last complete round (crash between commits)."""
+    def rollback_to_last_round(self) -> dict | None:
+        """Roll every table back to the versions of the last COMPLETE
+        round (or to empty), discarding orphan snapshots from a crashed
+        attempt, and restore the frontier-depth carry. Returns the last
+        round's log entry (None when no round has committed). Shared by
+        batch resume and streaming-batch redelivery."""
         last = self.store.last_round()
+        tables = [("seen", self.seen.seen_tbl), ("bloom", self.seen.bloom_tbl),
+                  ("frontier", self.frontier_tbl),
+                  ("scheduled", self.scheduled_tbl),
+                  ("candidates", self.candidates_tbl),
+                  ("domains", self.domains_tbl)]
         if last is None:
-            for t in (self.seen.seen_tbl, self.seen.bloom_tbl, self.frontier_tbl,
-                      self.scheduled_tbl, self.candidates_tbl, self.domains_tbl):
+            for _, t in tables:
                 t.rollback_to(0)
-            return 0, None
-        for name, tbl in [("seen", self.seen.seen_tbl), ("bloom", self.seen.bloom_tbl),
-                          ("frontier", self.frontier_tbl),
-                          ("scheduled", self.scheduled_tbl),
-                          ("candidates", self.candidates_tbl),
-                          ("domains", self.domains_tbl)]:
+            self._prev_depth = 0
+            return None
+        for name, tbl in tables:
             v = last["tables"].get(name)
             if v is not None:
                 tbl.rollback_to(v)
-        nxt = last["round"] + 1
         self._prev_depth = last["metrics"]["frontier_depth"]
+        return last
+
+    def resume_round(self) -> tuple[int, DataFrame | None]:
+        """(next_round, its candidates). Rolls back any table versions newer
+        than the last complete round (crash between commits)."""
+        last = self.rollback_to_last_round()
+        if last is None:
+            return 0, None
+        nxt = last["round"] + 1
         cand = self.candidates_tbl.read(last["tables"]["candidates"])
         return nxt, cand
 
     # -- one round -----------------------------------------------------------
 
-    def run_round(self, r: int, candidates: DataFrame) -> DataFrame:
+    def run_round(self, r: int, candidates: DataFrame,
+                  batch_id: int | None = None) -> DataFrame:
         import time as _time
         t0 = _time.perf_counter()
         p = self.params
@@ -270,7 +295,7 @@ class CrawlEngine:
         # A13 phase-timer analog: wall time is observability only — never
         # part of the oracle-checked metric set
         m["wall_s"] = round(_time.perf_counter() - t0, 3)
-        self.store.commit_round(r, versions, m)
+        self.store.commit_round(r, versions, m, batch_id=batch_id)
         if (p.compact_seen_every is not None
                 and (r + 1) % p.compact_seen_every == 0):
             # chain maintenance AFTER the round commit: a crash here just

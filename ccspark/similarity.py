@@ -119,26 +119,35 @@ SQL_EMBEDDING_NEARDUP_TOPK = (
 
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN: random-hyperplane signs with md5-derived ±1 weights.
-# weight(p, j) = +1 iff first md5 hex digit of "p_j" < 8 — identical on
-# both engines; projection is a strict sequential fold.
+# weight(p, j) = +1 iff first md5 hex digit of "p_j" < 8. The weights are
+# ROW-INDEPENDENT, so they are derived ONCE here (driver-side, the same
+# md5 rule both engines previously evaluated inline) and inlined as array
+# literals — round 1 recomputed 8 planes × 64 md5 calls per ROW inside
+# the fold. The projection stays a strict sequential fold (same IEEE op
+# order), so bucket values are unchanged.
 # ---------------------------------------------------------------------------
+
+EMB_DIM = 64   # embeddings table vector width (pinned by tests)
+
+
+def _plane_weights(plane: int, dim: int = EMB_DIM) -> list[float]:
+    import hashlib
+    return [1.0 if int(hashlib.md5(f"{plane}_{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for j in range(dim)]
 
 
 def _proj_expr(plane: int) -> str:
-    # sum_j v[j-1] * w(plane, j-1), j = 1..64 (1-based fold index)
-    return (
-        "aggregate(sequence(1, size(v)), CAST(0.0 AS DOUBLE), (acc, j) -> acc +"
-        f" v[j - 1] * (CASE WHEN CAST(conv(substring(md5(concat('{plane}', '_', j - 1)), 1, 1),"
-        " 16, 10) AS INT) < 8 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"
-    )
+    w = ", ".join(f"{x:.1f}D" for x in _plane_weights(plane))
+    # zip_with(v, w) keeps the per-element multiply, then the same strict
+    # left-to-right fold as before: acc + (v[j] * w[j]) in index order
+    return (f"aggregate(zip_with(v, array({w}), (x, wt) -> x * wt),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
 
 def _duck_proj(plane: int) -> str:
-    return (
-        "list_sum(list_transform(generate_series(1, len(v)), j ->"
-        f" v[j] * (CASE WHEN ('0x' || substr(md5(concat('{plane}', '_', j - 1)), 1, 1))::INT"
-        " < 8 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)))"
-    )
+    w = ", ".join(f"{x:.1f}" for x in _plane_weights(plane))
+    return f"list_dot_product(v, [{w}]::DOUBLE[])"
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
@@ -199,25 +208,61 @@ SQL_ANN_LSH_TOPK = (
 
 
 # ---------------------------------------------------------------------------
-# IVF-bucketed ANN: coarse quantizer = K fixed centroid vectors (here the
-# first K embeddings stand in for k-means centroids — the assignment and
-# probe plumbing is the part that matters at scale); each vector joins its
-# nearest cell, queries probe the NPROBE nearest cells. At 100 TB the cell
-# id is the shuffle key and the centroid table is a broadcast dim.
+# IVF-bucketed ANN: coarse quantizer = N_CELLS centroids trained by a
+# DETERMINISTIC spherical k-means (the IVFPQ coarse-quantizer analog of
+# IndexingManage.java:68-80): init = first K vectors, KMEANS_ITERS Lloyd
+# rounds of (assign to max rounded-cosine cell, ties → smaller cell) then
+# (elementwise mean). The mean folds vectors in vec_id order (sort_array /
+# list(ORDER BY)), so Spark and DuckDB run the identical IEEE op sequence
+# and centroids are bit-equal — no order-dependent float summation.
+# Empty cells keep their previous centroid. Each vector then joins its
+# nearest cell; queries probe the NPROBE nearest cells. At 100 TB the
+# cell id is the shuffle key, the centroid table a broadcast dim, and
+# centroid TRAINING runs on a bounded sample (the standard IVF recipe)
+# while assignment/probe stays full-corpus.
 # ---------------------------------------------------------------------------
 
 N_CELLS = 16
 NPROBE = 2
+KMEANS_ITERS = 3
+
+
+def _centroids(spark, sf_dir) -> DataFrame:
+    e = _with_norm(emb(spark, sf_dir))
+    cents = (e.filter(F.col("vec_id") < N_CELLS)
+             .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv")))
+    mean_expr = (
+        f"transform(aggregate(arr, array_repeat(CAST(0.0 AS DOUBLE), {EMB_DIM}),"
+        " (acc, e) -> zip_with(acc, e.v, (a, b) -> a + b)), x -> x / n)")
+    for _ in range(KMEANS_ITERS):
+        cn = cents.withColumn(
+            "cnorm", F.expr("sqrt(" + _DOT.format(a="cv", b="cv") + ")"))
+        sim = F.round(F.expr(_DOT.format(a="v", b="cv"))
+                      / (F.col("norm") * F.col("cnorm")), 6)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cell").asc())
+        assign = (e.crossJoin(F.broadcast(cn))
+                  .withColumn("csim", sim)
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("vec_id", "cell", "v"))
+        means = (assign.groupBy("cell")
+                 .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v")))
+                      .alias("arr"),
+                      F.count(F.lit(1)).alias("n"))
+                 .select("cell", F.expr(mean_expr).alias("ncv")))
+        cents = (cents.join(means, "cell", "left")
+                 .select("cell", F.coalesce("ncv", "cv").alias("cv")))
+    return cents
 
 
 def _cells(spark, sf_dir):
     """(vec_id, cell, rank) for every vector: rank over cells by rounded
-    cosine to the centroid (ties → smaller cell id). rank 1 = assignment;
-    rank ≤ NPROBE = query probe set."""
+    cosine to the trained centroid (ties → smaller cell id). rank 1 =
+    assignment; rank ≤ NPROBE = query probe set."""
     e = _with_norm(emb(spark, sf_dir))
-    cents = (e.filter(F.col("vec_id") < N_CELLS)
-             .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
-                     F.col("norm").alias("cnorm")))
+    cents = _centroids(spark, sf_dir).withColumn(
+        "cnorm", F.expr("sqrt(" + _DOT.format(a="cv", b="cv") + ")"))
     dot = F.expr(_DOT.format(a="v", b="cv"))
     sim = F.round(dot / (F.col("norm") * F.col("cnorm")), 6)
     w = Window.partitionBy("vec_id").orderBy(
@@ -228,15 +273,43 @@ def _cells(spark, sf_dir):
             .select("vec_id", "cell", "crank"))
 
 
-_DUCK_CELLS = (
+def _duck_centroid_ctes() -> str:
+    """The Lloyd loop as a flat CTE chain (c0 → a1/g1/m1/c1 → … → cK)."""
+    parts = [
+        "e AS (" + _DUCK_NORM + ")",
+        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {N_CELLS})",
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cell, v FROM ("
+            " SELECT e.vec_id, c.cell, e.v, row_number() OVER ("
+            "  PARTITION BY e.vec_id ORDER BY"
+            "  round(list_dot_product(e.v, c.cv)"
+            "        / (e.norm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,"
+            f"  c.cell ASC) AS rn FROM e, {prev} c) WHERE rn = 1)")
+        parts.append(
+            f"g{it} AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,"
+            f" list(v ORDER BY vec_id) AS arr FROM a{it} GROUP BY cell)")
+        parts.append(
+            f"m{it} AS (SELECT cell, list_transform(list_reduce(arr,"
+            " (acc, x) -> list_transform(generate_series(1, len(acc)),"
+            " i -> acc[i] + x[i])),"
+            f" s -> s / n) AS ncv FROM g{it})")
+        parts.append(
+            f"c{it} AS (SELECT p.cell, coalesce(m.ncv, p.cv) AS cv"
+            f" FROM {prev} p LEFT JOIN m{it} m USING (cell))")
+    return ", ".join(parts)
+
+
+_DUCK_CELLS_BODY = (
     "SELECT vec_id, cell, crank FROM ("
     "  SELECT e.vec_id, c.cell,"
     "   row_number() OVER (PARTITION BY e.vec_id ORDER BY"
-    "     round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) DESC,"
+    "     round(list_dot_product(e.v, c.cv)"
+    "           / (e.norm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,"
     "     c.cell ASC) AS crank"
-    "  FROM (" + _DUCK_NORM + ") e,"
-    f"  (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM (" + _DUCK_NORM + ")"
-    f"   WHERE vec_id < {N_CELLS}) c)")
+    f"  FROM e, c{KMEANS_ITERS} c)")
 
 
 def q_ann_ivf_cells(spark, sf_dir):
@@ -246,8 +319,9 @@ def q_ann_ivf_cells(spark, sf_dir):
 
 
 SQL_ANN_IVF_CELLS = (
-    "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM ("
-    + _DUCK_CELLS + ") WHERE crank = 1")
+    "WITH " + _duck_centroid_ctes() + ","
+    " cells AS (" + _DUCK_CELLS_BODY + ")"
+    " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM cells WHERE crank = 1")
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -279,11 +353,11 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 SQL_ANN_IVF_TOPK = (
-    "WITH cells AS (" + _DUCK_CELLS + "),"
+    "WITH " + _duck_centroid_ctes() + ","
+    " cells AS (" + _DUCK_CELLS_BODY + "),"
     " assign AS (SELECT vec_id, cell FROM cells WHERE crank = 1),"
     f" probes AS (SELECT vec_id AS query_id, cell FROM cells"
     f"   WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),"
-    " e AS (" + _DUCK_NORM + "),"
     " q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e),"
     " c AS (SELECT e.vec_id AS cand_id, e.v AS cv, e.norm AS cnorm, a.cell"
     "   FROM e JOIN assign a ON a.vec_id = e.vec_id),"
@@ -297,6 +371,93 @@ SQL_ANN_IVF_TOPK = (
     f" WHERE rank <= {TOP_K}")
 
 
+# ---------------------------------------------------------------------------
+# classifier evaluation parity — the reference's only quantitative
+# self-check is a hand-rolled dual-class confusion matrix + F1
+# (FakeArffCreator.java:54-119). Same arithmetic here, evaluated for a
+# SQL-expressible threshold classifier: plane-0 hyperplane projection > 0
+# predicts BIG, ground truth = embeddings.label >= 5. All counts are
+# integers and every F1 is a single int-ratio division (plus one exact
+# add/halve for the macro average), so both engines produce bit-equal
+# doubles. The PRIORITY-threshold variant of the same arithmetic runs
+# over the crawl fixture against the pure-Python oracle (crawl REG +
+# tests), where the 23-feature kernel lives.
+# ---------------------------------------------------------------------------
+
+_EVAL_LABEL_SPLIT = 5
+
+
+def confusion_f1(d: DataFrame) -> DataFrame:
+    """FakeArffCreator.java:54-119 arithmetic over a DataFrame with
+    boolean columns pred_big/truth_big → one row of the six confusion
+    counts and the three F1 scores (f1 = 2TP/(2TP+FN+FP), macro avg)."""
+    c = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)) \
+        .cast("bigint").alias(name)
+    P, T = F.col("pred_big"), F.col("truth_big")
+    m = d.agg(
+        c(T & P, "tp_big"), c(T & ~P, "fn_big"), c(~T & P, "fp_big"),
+        c(~T & ~P, "tp_small"), c(~T & P, "fn_small"), c(T & ~P, "fp_small"))
+    f1_big = (2 * F.col("tp_big")
+              / (2 * F.col("tp_big") + F.col("fn_big") + F.col("fp_big")))
+    f1_small = (2 * F.col("tp_small")
+                / (2 * F.col("tp_small") + F.col("fn_small") + F.col("fp_small")))
+    return m.select(
+        "tp_big", "fn_big", "fp_big", "tp_small", "fn_small", "fp_small",
+        f1_big.alias("f1_big"), f1_small.alias("f1_small"),
+        ((f1_big + f1_small) / 2).alias("f1_avg"))
+
+
+def q_classifier_eval(spark, sf_dir):
+    e = (t(spark, sf_dir, "embeddings")
+         .select(F.col("label"),
+                 F.col("embedding").cast("array<double>").alias("v")))
+    return confusion_f1(e.select(
+        (F.expr(_proj_expr(0)) > 0).alias("pred_big"),
+        (F.col("label") >= _EVAL_LABEL_SPLIT).alias("truth_big")))
+
+
+SQL_CLASSIFIER_EVAL = (
+    "WITH d AS (SELECT (" + _duck_proj(0) + ") > 0 AS pred_big,"
+    f"  label >= {_EVAL_LABEL_SPLIT} AS truth_big FROM"
+    "  (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)),"
+    " m AS (SELECT"
+    "  CAST(sum(CASE WHEN truth_big AND pred_big THEN 1 ELSE 0 END) AS BIGINT) AS tp_big,"
+    "  CAST(sum(CASE WHEN truth_big AND NOT pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fn_big,"
+    "  CAST(sum(CASE WHEN NOT truth_big AND pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fp_big,"
+    "  CAST(sum(CASE WHEN NOT truth_big AND NOT pred_big THEN 1 ELSE 0 END) AS BIGINT) AS tp_small,"
+    "  CAST(sum(CASE WHEN NOT truth_big AND pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fn_small,"
+    "  CAST(sum(CASE WHEN truth_big AND NOT pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fp_small"
+    "  FROM d)"
+    " SELECT tp_big, fn_big, fp_big, tp_small, fn_small, fp_small,"
+    "  2 * tp_big / (2 * tp_big + fn_big + fp_big) AS f1_big,"
+    "  2 * tp_small / (2 * tp_small + fn_small + fp_small) AS f1_small,"
+    "  (2 * tp_big / (2 * tp_big + fn_big + fp_big)"
+    "   + 2 * tp_small / (2 * tp_small + fn_small + fp_small)) / 2 AS f1_avg"
+    " FROM m")
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """recall@k of the IVF probe search vs the exact brute-force top-k —
+    the quantizer-quality metric (single row: hits, total, recall)."""
+    bf = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("query_id", "cand_id")
+    hit = bf.join(ivf, ["query_id", "cand_id"], "left_semi")
+    return (hit.agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(bf.agg(F.count(F.lit(1)).alias("total")))
+            .select("hits", "total",
+                    F.round(F.col("hits") / F.col("total"), 6).alias("recall")))
+
+
+SQL_ANN_IVF_RECALL = (
+    "WITH bf AS (" + SQL_ANN_BRUTEFORCE_TOPK + "),"
+    " ivf AS (" + SQL_ANN_IVF_TOPK + "),"
+    " h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM bf WHERE EXISTS ("
+    "   SELECT 1 FROM ivf WHERE ivf.query_id = bf.query_id"
+    "   AND ivf.cand_id = bf.cand_id)),"
+    " t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bf)"
+    " SELECT hits, total, round(hits / total, 6) AS recall FROM h, t")
+
+
 REG: dict[str, tuple] = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "embedding_neardup_topk": (q_embedding_neardup_topk, SQL_EMBEDDING_NEARDUP_TOPK),
@@ -304,4 +465,6 @@ REG: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
+    "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
 }

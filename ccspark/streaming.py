@@ -32,19 +32,43 @@ def candidate_stream(spark: SparkSession, landing_dir: str,
             .parquet(landing_dir))
 
 
+def process_batch(engine: CrawlEngine, batch_df: DataFrame,
+                  batch_id: int) -> bool:
+    """One streaming micro-batch = one scheduling round, crash-safe.
+
+    foreachBatch gives at-least-once delivery: after a crash the same
+    batch_id is replayed, and the snapshot store may hold orphan table
+    versions from the failed attempt (e.g. a seen delta that committed
+    before the crash — without rollback its URLs would be silently
+    dup-dropped and never scheduled). Two steps make replay exactly-once:
+
+    1. roll every table back to the last COMMITTED round (the same
+       rollback the batch path's resume_round uses), which also restores
+       the frontier-depth carry after an engine restart;
+    2. if that committed round already carries this batch_id, the crash
+       happened between commit_round and the streaming checkpoint — the
+       work is complete, skip the replay instead of re-running it as a
+       spurious new round.
+
+    Returns True when a round ran, False on an idempotent skip."""
+    last = engine.rollback_to_last_round()
+    if last is not None and last.get("batch_id") == batch_id:
+        return False
+    next_round = 0 if last is None else last["round"] + 1
+    engine.run_round(next_round, batch_df, batch_id=batch_id)
+    return True
+
+
 def run_streaming_rounds(engine: CrawlEngine, landing_dir: str,
                          checkpoint_dir: str,
                          available_now: bool = True):
     """Each micro-batch = one scheduling round via the batch engine —
-    foreachBatch keeps exactly-once semantics through the snapshot
-    tables' commit log (idempotent: a re-delivered batch re-commits the
-    same round id)."""
+    process_batch makes redelivery idempotent through the snapshot
+    tables' round log (rollback of orphan versions + batch_id skip)."""
     stream = candidate_stream(engine.spark, landing_dir)
 
     def one_round(batch_df: DataFrame, batch_id: int) -> None:
-        last = engine.store.last_round()
-        next_round = 0 if last is None else last["round"] + 1
-        engine.run_round(next_round, batch_df)
+        process_batch(engine, batch_df, batch_id)
 
     writer = (stream.writeStream
               .foreachBatch(one_round)

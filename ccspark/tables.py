@@ -158,11 +158,15 @@ class SnapshotStore:
         return self._tables[name]
 
     def commit_round(self, round_no: int, table_versions: dict[str, int],
-                     metrics: dict) -> None:
+                     metrics: dict, batch_id: int | None = None) -> None:
+        """batch_id: the streaming micro-batch that produced this round
+        (None for batch-mode rounds) — recorded so a redelivered batch
+        after a crash can be recognized and skipped idempotently."""
         tmp = os.path.join(self.rounds_dir, f".r{round_no}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump({"round": round_no, "tables": table_versions,
-                       "metrics": metrics, "committed_at": time.time()}, fh, indent=1)
+                       "metrics": metrics, "batch_id": batch_id,
+                       "committed_at": time.time()}, fh, indent=1)
         os.rename(tmp, os.path.join(self.rounds_dir, f"r{round_no}.json"))
 
     def last_round(self) -> dict | None:

@@ -204,6 +204,35 @@ class TestRobotsStaleness:
             for k in METRIC_KEYS:
                 assert g[k] == w[k]
 
+    def test_multi_generation_robots_cache(self, spark, fx_small, tmp_path):
+        """A refreshed cache holds several generations per host; the
+        engine must reduce to the freshest row before joining (a dup row
+        would fan candidates out through the politeness joins) and pick
+        the SAME row as the oracle."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = pq.read_table(fx_small["robots"])
+        rows = base.to_pylist()
+        old_gen = [dict(r, crawl_delay=999.0, disallow=["/"],
+                        fetched_at=r["fetched_at"].replace(year=2024))
+                   for r in rows]
+        both = pa.Table.from_pylist(old_gen + rows, schema=base.schema)
+        multi = str(tmp_path / "robots_multi.parquet")
+        pq.write_table(both, multi)
+
+        want = run_oracle(fx_small["documents"], fx_small["seeds"], multi,
+                          PARAMS)
+        eng = CrawlEngine(spark, str(tmp_path / "mg"), fx_small["documents"],
+                          fx_small["seeds"], multi, params=PARAMS)
+        metrics = eng.run()
+        got = _scheduled_lists(eng)
+        for r, w in enumerate(want.scheduled):
+            assert got.get(r, []) == [(c["url"], c["priority"]) for c in w]
+        for g, w in zip(metrics, want.metrics):
+            for k in METRIC_KEYS:
+                assert g[k] == w[k]
+
     def test_fresh_robots_still_apply(self, spark, fx_small, tmp_path):
         fixture_ts = 1767225600000
         params = CrawlParams(rounds=1, robots_max_age_ms=86400_000,
@@ -215,6 +244,66 @@ class TestRobotsStaleness:
         metrics = eng.run()
         assert metrics[0]["robots_blocked"] == want.metrics[0]["robots_blocked"]
         assert metrics[0]["scheduled"] == want.metrics[0]["scheduled"]
+
+
+class TestClassifierEvalParity:
+    def test_priority_eval_matches_pyoracle(self, spark, fx_small):
+        """FakeArffCreator.java:54-119 confusion/F1 arithmetic for the
+        priority>0.5 threshold vs the media-URL truth — engine counts and
+        single-division F1s must equal the pure-Python twin exactly."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ccspark import kernels as K
+        from ccspark.extract import extract_links
+        from ccspark.oracle import extract_links_py
+        from ccspark.scheduler import canonicalize
+        from ccspark.similarity import confusion_f1
+
+        docs = spark.read.parquet(fx_small["documents"])
+        got = confusion_f1(
+            canonicalize(extract_links(docs, follow_links=True), 0).select(
+                (F.col("priority") > 0.5).alias("pred_big"),
+                F.col("url").rlike(K.SPARK_MEDIA_RE).alias("truth_big"))
+        ).collect()[0]
+
+        cands = []
+        for d in pq.read_table(fx_small["documents"]).to_pylist():
+            cands.extend(extract_links_py(d, follow_links=True))
+        keep = []
+        for c in cands:
+            src = K.strip_whitespace(pd.Series([c["url_raw"]])).iloc[0]
+            page = K.strip_whitespace(pd.Series([c["page_url"]])).iloc[0]
+            if src == "":
+                continue
+            url = K.normalize_one(src, page) if not K.is_absolute(src) else src
+            if url is None:
+                continue
+            host = K.hosts_of(pd.Series([url])).iloc[0]
+            if host is None or host == "":
+                continue
+            keep.append(dict(c, url=url))
+        pdf = pd.DataFrame({
+            "url": [c["url"] for c in keep],
+            "page_url": [c["page_url"] for c in keep],
+            "kind": [c["kind"] for c in keep],
+            "alt": [c["alt"] for c in keep],
+            "parent_txt": [c["parent_txt"] for c in keep],
+            "dom_depth": [c["dom_depth"] for c in keep],
+            "dom_sib": [c["dom_sib"] for c in keep],
+        })
+        pred = (K.priority_scores(pdf) > 0.5).to_numpy()
+        truth = K.is_media_series(pdf["url"]).to_numpy()
+        tp_b = int((truth & pred).sum())
+        fn_b = int((truth & ~pred).sum())
+        fp_b = int((~truth & pred).sum())
+        tp_s = int((~truth & ~pred).sum())
+        assert (got.tp_big, got.fn_big, got.fp_big, got.tp_small,
+                got.fn_small, got.fp_small) == (tp_b, fn_b, fp_b, tp_s,
+                                                fp_b, fn_b)
+        assert got.f1_big == 2 * tp_b / (2 * tp_b + fn_b + fp_b)
+        assert got.f1_small == 2 * tp_s / (2 * tp_s + fn_b + fp_b)
+        assert got.f1_avg == (got.f1_big + got.f1_small) / 2
 
 
 class TestSpanInvariant:
