@@ -15,7 +15,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from . import analytics, dedup, multimodal, similarity, textops, warc
+from . import analytics, dedup, htmlspans, multimodal, similarity, textops, warc
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -42,7 +42,16 @@ def q_crawl_scheduled(spark, sf_dir):
     shutil.rmtree(state, ignore_errors=True)
     eng = CrawlEngine(spark, state, fx["documents"], fx["seeds"], fx["robots"],
                       params=_CRAWL_PARAMS)
-    eng.run()
+    # The round loop manages its partitioning explicitly (bucket
+    # repartition on state commits, salted politeness windows, unique-url
+    # join keys), so AQE's per-exchange re-planning only adds driver
+    # jobs — measured: it nearly DOUBLES jobs per round (BENCH.md).
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        eng.run()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     return (eng.scheduled_rounds()
             .select("fetch_round", "url", "host_key", "depth", "surt",
                     F.round("priority", 6).alias("priority"),
@@ -95,7 +104,7 @@ CRAWL_REG = {
 # ---------------------------------------------------------------------------
 
 ALL: dict[str, tuple] = {}
-for mod in (analytics, dedup, similarity, textops, multimodal, warc):
+for mod in (analytics, dedup, similarity, textops, multimodal, warc, htmlspans):
     overlap = ALL.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
     ALL.update(mod.REG)

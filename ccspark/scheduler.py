@@ -26,8 +26,8 @@ from pyspark.sql import (DataFrame, Observation, SparkSession, Window,
 from .extract import extract_links
 from .fetchsim import discovered_docs, with_fetch_sim
 from .params import CrawlParams
-from .politeness import (order_cols, schedule_frontier, with_fetch_offsets,
-                         with_robots_blocked_flag)
+from .politeness import (order_cols, robots_admission_filter,
+                         schedule_frontier, with_fetch_offsets)
 from .seen import SeenSet, with_bucket
 from .tables import SnapshotStore
 from .udfs import canon_udf, host_udf, normalize_udf, priority_udf, surt_udf
@@ -216,25 +216,22 @@ class CrawlEngine:
         p = self.params
         m: dict = {"round": r}
 
-        # Metrics ride the round's own actions via observe() wherever the
-        # lineage is linear — per-round job count is the driver-side cost
+        # EVERY admission metric rides the seen-delta commit's action as
+        # an Observation — per-round job count is the driver-side cost
         # that dominates the loop (each job pays fixed scheduler+worker
-        # overhead), so the only standalone metric job is the admission
-        # aggregate below.
+        # overhead), so the round runs NO standalone metric jobs at all:
+        # candidates_in / n_canon / n_admitted / new_seen all materialize
+        # during the one job that also computes the UDF canonicalization
+        # exactly once (no cache needed — nothing downstream re-reads the
+        # pre-dedup lineage).
         obs_in = Observation()
+        obs_canon = Observation()
+        obs_adm = Observation()
         candidates = candidates.observe(obs_in, F.count(F.lit(1)).alias("n"))
-        canon = canonicalize(candidates, r)
-        flagged = with_robots_blocked_flag(canon, self.robots).cache()
-        fc = flagged.select(
-            F.count(F.lit(1)).alias("n_canon"),
-            F.coalesce(F.sum(F.when(~F.col("_blocked"), 1).otherwise(0)),
-                       F.lit(0)).alias("n_adm"),   # sum() is NULL on empty input
-        ).collect()[0]
-        m["candidates_in"] = _observed_count(obs_in, candidates)
-        m["malformed_dropped"] = m["candidates_in"] - fc.n_canon
-        m["robots_blocked"] = fc.n_canon - fc.n_adm
-        n_adm = fc.n_adm
-        admitted = flagged.filter(~F.col("_blocked")).drop("_blocked")
+        canon = (canonicalize(candidates, r)
+                 .observe(obs_canon, F.count(F.lit(1)).alias("n")))
+        admitted = (robots_admission_filter(canon, self.robots)
+                    .observe(obs_adm, F.count(F.lit(1)).alias("n")))
 
         # new-seen count observed on the seen-delta commit's action
         obs_new = Observation()
@@ -243,6 +240,11 @@ class CrawlEngine:
                .observe(obs_new, F.count(F.lit(1)).alias("n"))
                .cache())
         versions = self.seen.add(new, r)
+        m["candidates_in"] = _observed_count(obs_in, candidates)
+        n_canon = _observed_count(obs_canon, canon)
+        n_adm = _observed_count(obs_adm, admitted)
+        m["malformed_dropped"] = m["candidates_in"] - n_canon
+        m["robots_blocked"] = n_canon - n_adm
         m["new_seen"] = _observed_count(obs_new, new)
         m["dup_dropped"] = n_adm - m["new_seen"]
         m["dedup_rate"] = (m["dup_dropped"] / n_adm) if n_adm else 0.0
@@ -259,12 +261,18 @@ class CrawlEngine:
         versions["domains"] = self.domains_tbl.commit(new_hosts, r)
         m["new_domains"] = _observed_count(obs_dom, new_hosts)
 
+        # The frontier is MERGE-ON-READ: each round commits only its NEW
+        # rows as a delta; the live set is (chain − scheduled-since-base),
+        # resolved lazily. Round 1 rewrote the whole remaining frontier
+        # every round — at 10^10 URLs that is a full-frontier write per
+        # round; the delta commit writes O(new URLs) instead, and
+        # compaction (below) periodically materializes the live set as a
+        # 'full' snapshot to bound the subtraction chain (the Iceberg
+        # merge-on-read + rewrite-data-files pattern).
         new_frontier = new.select(*FRONTIER_COLS)
-        if self.frontier_tbl.exists():
-            frontier = self.frontier_tbl.read().unionByName(new_frontier)
-        else:
-            frontier = new_frontier
-        frontier = frontier.cache()
+        live = self.live_frontier()
+        frontier = (live.unionByName(new_frontier)
+                    if live is not None else new_frontier).cache()
 
         # scheduled count observed on the fetched-table commit
         obs_sched = Observation()
@@ -276,9 +284,8 @@ class CrawlEngine:
         versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
         m["scheduled"] = _observed_count(obs_sched, sched)
 
-        remaining = frontier.join(sched.select("url"), "url", "left_anti")
         versions["frontier"] = self.frontier_tbl.commit(
-            remaining, r, repartition=(min(p.seen_partitions, 32), "bucket"))
+            new_frontier, r, repartition=(min(p.seen_partitions, 32), "bucket"))
         # arithmetic, not a count job: depth = prev_depth + new − scheduled
         m["frontier_depth"] = self._prev_depth + m["new_seen"] - m["scheduled"]
         self._prev_depth = m["frontier_depth"]
@@ -302,9 +309,28 @@ class CrawlEngine:
             # loses the compaction, never round data
             self.seen.seen_tbl.compact_chain(
                 r, repartition=(min(p.seen_partitions, 32), "bucket"))
-        for df in (flagged, new, frontier, sched):
+            # frontier: materialize the live set as a 'full' snapshot so
+            # the merge-on-read subtraction chain stays bounded
+            self.frontier_tbl.commit(
+                self.live_frontier(), r, kind="full",
+                repartition=(min(p.seen_partitions, 32), "bucket"))
+        for df in (new, frontier, sched):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
+
+    def live_frontier(self) -> DataFrame | None:
+        """The unscheduled frontier, resolved merge-on-read: the delta
+        chain minus scheduled rows committed since the chain's 'full'
+        base snapshot (None before any round)."""
+        if not self.frontier_tbl.exists():
+            return None
+        chain = self.frontier_tbl.read_chain()
+        if self.scheduled_tbl.exists():
+            base = self.frontier_tbl.chain_base_round()
+            sched = (self.scheduled_tbl.read_chain()
+                     .filter(F.col("fetch_round") > base).select("url"))
+            chain = chain.join(sched, "url", "left_anti")
+        return chain
 
     # -- full run --------------------------------------------------------------
 

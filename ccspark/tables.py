@@ -116,6 +116,21 @@ class SnapshotTable:
         paths = [os.path.join(self.dir, f"v{v}") for v in vs if v >= base]
         return self.spark.read.parquet(*paths)
 
+    def chain_base_round(self, version: int | None = None) -> int:
+        """Round of the 'full' snapshot the live chain is based on
+        (-1 when the chain starts from empty) — lets a reader subtract
+        only the deltas that postdate the base (the frontier's
+        merge-on-read bookkeeping)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return -1
+        base = -1
+        for v in self.versions():
+            if v <= version and self.meta(v).get("kind") == "full":
+                base = self.meta(v)["round"]
+        return base
+
     def compact_chain(self, round_no: int,
                       repartition: tuple | None = None) -> int:
         """Rewrite the live chain into one 'full' snapshot — the Iceberg

@@ -174,9 +174,9 @@ def write_archive_fixtures(sf_dir: str, out_dir: str) -> dict[str, str]:
     corrupt member so the gates and the lenient path are exercised."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {k: os.path.join(out_dir, f"fixture.{k}.gz")
-             for k in ("warc", "wet", "wat")}
+             for k in ("warc", "wet", "wat", "htmlwarc")}
     manifest = os.path.join(out_dir, "_MANIFEST")
-    stamp = "v1:" + sf_dir
+    stamp = "v2:" + sf_dir
     if os.path.exists(manifest):
         with open(manifest) as fh:
             if (fh.read().strip() == stamp
@@ -184,7 +184,7 @@ def write_archive_fixtures(sf_dir: str, out_dir: str) -> dict[str, str]:
                 return paths
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pylist()
-    warc, wet, wat = [], [], []
+    warc, wet, wat, htmlwarc = [], [], [], []
     for d in docs:
         uri = f"http://docs.example.com/{d['doc_id']}.html"
         # the tag-count corpus: every word wrapped as a tag (the same
@@ -200,6 +200,21 @@ def write_archive_fixtures(sf_dir: str, out_dir: str) -> dict[str, str]:
             "Headers": {"Server": d["source"]}}}}}
         wat.append(_record("metadata", uri, "application/json",
                            json.dumps(env).encode()))
+        # a REAL page (not the tag-synthesized corpus) for the HTML→spans
+        # ingester: p text, media <a>, <img>, <video> — its expected span
+        # sequence is SQL-derivable from the documents row
+        did = d["doc_id"]
+        page = ("<html><body>"
+                f"<p>{d['text']}</p>"
+                f"<a href=\"http://media.example.com/{did}.jpg\">see pic {did}</a>"
+                f"<img src=\"/static/{did}.png\" alt=\"alt {did}\">"
+                f"<div><video width=\"320\" height=\"240\" "
+                f"src=\"http://v.example.com/{did}.mp4\">clip {did}</video></div>"
+                "</body></html>")
+        page_http = ("HTTP/1.1 200 OK\r\n"
+                     "Content-Type: text/html; charset=UTF-8\r\n\r\n"
+                     + page).encode()
+        htmlwarc.append(_record("response", uri, RESPONSE_MIME, page_http))
     # filter-exercising extras: a request record, a non-html response,
     # and a corrupt member (bad Content-Length) the parser must survive
     warc.append(_record("request", "http://docs.example.com/0.html",
@@ -218,6 +233,9 @@ def write_archive_fixtures(sf_dir: str, out_dir: str) -> dict[str, str]:
             fh.write(_gz_member(rec))
     with open(paths["wat"], "wb") as fh:
         for rec in wat:
+            fh.write(_gz_member(rec))
+    with open(paths["htmlwarc"], "wb") as fh:
+        for rec in htmlwarc:
             fh.write(_gz_member(rec))
     with open(manifest, "w") as fh:
         fh.write(stamp)

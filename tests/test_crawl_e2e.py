@@ -67,7 +67,8 @@ class TestEngineMatchesOracle:
 
     def test_frontier_leftover_matches(self, engine, oracle_small):
         eng, _ = engine
-        left = {r.url for r in eng.frontier_tbl.read().select("url").collect()}
+        left = {r.url for r in
+                eng.live_frontier().select("url").collect()}
         assert left == set(oracle_small.frontier)
 
     def test_fetch_offsets_match(self, engine, oracle_small):
