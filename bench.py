@@ -74,8 +74,13 @@ def _session(cores: int, pipeline: bool = False):
     # keep AQE on; at real scale its skew/coalesce passes earn their
     # latency.)
     extra = {"spark.sql.adaptive.enabled": "false"} if pipeline else {}
+    # pipeline levels size shuffle partitions by the SAME rule (4x cores,
+    # the standard 2-4x guidance; A/B'd: at 8 cores 32 partitions beat 16
+    # by ~4% and 8 by ~17%) so the N->4N comparison holds config shape
+    # constant relative to the level.
+    sp = 4 * cores if pipeline else max(cores, 16)
     return get_spark(f"ccspark-bench-{cores}", master=f"local[{cores}]",
-                     shuffle_partitions=max(cores, 16), extra=extra)
+                     shuffle_partitions=sp, extra=extra)
 
 
 def phase_pipeline(cores: int) -> None:
@@ -162,6 +167,9 @@ def phase_queries() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         out[name] = round(time.perf_counter() - t0, 3)
+    # quantizer quality: recall@k of IVF probe search vs exact top-k
+    rec = ALL["ann_ivf_recall"][0](spark, SF_DIR).collect()[0]
+    out["_ivf_recall"] = rec.recall
     print(json.dumps(out))
 
 
@@ -191,6 +199,7 @@ def main() -> None:
     cpu_ctl = _sub("--phase", "cpu_control")
     jobs = _sub("--phase", "jobs")
     queries = _sub("--phase", "queries")
+    ivf_recall = queries.pop("_ivf_recall", None)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     result = {
@@ -207,6 +216,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "cpu_control_mops": cpu_ctl,
         "jobs_per_round": jobs["jobs_per_round"],
+        "ivf_recall_at_k": ivf_recall,
     }
     _write_bench_md(result, base_t, base_ts, full_ts)
     print(json.dumps(result))
@@ -285,6 +295,10 @@ def _write_bench_md(r: dict, t_base: float,
         "commits deltas (merge-on-read), never a full rewrite; with AQE "
         "on the same rounds cost [27, 38, 38] jobs, which is why the "
         "round loop pins its partitioning and leaves AQE off.",
+        "",
+        f"ANN-IVF recall@{5} vs exact brute-force top-k at sf{r['sf']}: "
+        f"**{r['ivf_recall_at_k']}** (deterministic 3-iteration spherical "
+        "k-means coarse quantizer, NPROBE=2 of 16 cells).",
         "",
         f"Headline query wall-times at sf{r['sf']} on local[{CPUS}]:",
         "",

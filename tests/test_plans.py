@@ -109,3 +109,36 @@ class TestDedupPlans:
         fn, _ = ALL["ann_lsh_topk"]
         p = phys(fn(spark, SF))
         assert "bucket" in p
+
+
+class TestRound2PlanAudits:
+    def test_minhash_lsh_single_documents_scan(self, spark):
+        """dedup_minhash_lsh persists the distinct-shingle DF before its
+        four-way fan-out: the optimized plan must read documents through
+        ONE cached relation, not re-tokenize per branch (round-1 defect:
+        three redundant full-corpus passes)."""
+        from ccspark import dedup
+        df = dedup.q_dedup_minhash_lsh(spark, SF)
+        p = optimized(df)
+        scans = p.count("documents.parquet")
+        caches = p.count("InMemoryRelation")
+        assert caches >= 1, p[:2000]
+        assert scans <= caches, (
+            f"{scans} documents scans vs {caches} cached relations — "
+            "the shingle pipeline is being recomputed")
+
+    def test_ann_lsh_weights_precomputed(self, spark):
+        """The hyperplane ±1 weights are driver-side array literals —
+        round 1 evaluated 8 planes × 64 md5 calls PER ROW inside the
+        projection fold. No md5 may appear anywhere in the bucket plan."""
+        from ccspark import similarity
+        p = phys(similarity.q_ann_lsh_buckets(spark, SF))
+        assert "md5" not in p.lower(), "per-row weight derivation is back"
+
+    def test_ngram_pruned_vocab_containment_join_is_broadcast(self, spark):
+        """The A10 containment self-join runs over the CAPPED vocab via a
+        broadcast nested-loop — never a shuffled corpus-sized product."""
+        from ccspark import analytics as A
+        p = phys(A.q_ngram_pruned_vocab(spark, SF))
+        assert "BroadcastNestedLoopJoin" in p
+        assert "LeftAnti" in p
