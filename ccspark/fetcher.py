@@ -60,6 +60,109 @@ def urllib_transport(url: str, timeout_s: float) -> tuple[int, str, int]:
         return 0, "", 0   # network failure sentinel (never raises)
 
 
+def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], float | None]:
+    """(disallow prefixes, crawl_delay) for the matching agent group.
+
+    Minimal, deterministic robots.txt grammar: User-agent groups,
+    Disallow paths, Crawl-delay seconds; the '*' group applies unless a
+    more specific agent group matches; empty Disallow = allow-all line.
+    (The reference has no robots handling at all — U12 is the
+    north_rule's addition; this parser feeds the same cache schema the
+    scheduler's admission/budget joins consume.)"""
+    groups: dict[str, tuple[list[str], float | None]] = {}
+    agents: list[str] = []
+    collecting_agents = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                agents = []
+            collecting_agents = True
+            agents.append(val.lower())
+            for a in agents:
+                groups.setdefault(a, ([], None))
+        elif key in ("disallow", "crawl-delay"):
+            collecting_agents = False
+            for a in agents:
+                dis, delay = groups.setdefault(a, ([], None))
+                if key == "disallow":
+                    if val:
+                        dis.append(val)
+                else:
+                    try:
+                        delay = float(val)
+                    except ValueError:
+                        pass
+                groups[a] = (dis, delay)
+    ua = user_agent.lower()
+    for candidate in (ua, "*"):
+        if candidate in groups:
+            return groups[candidate]
+    return [], None
+
+
+def fetch_robots(hosts: DataFrame,
+                 transport: Callable[[str, float], tuple[int, str]] | None = None,
+                 timeout_s: float = 10.0, fetched_at_ms: int = 0,
+                 user_agent: str = "ccspark",
+                 default_delay: float = 0.15) -> DataFrame:
+    """Build the robots cache table from live robots.txt fetches — the
+    production producer for the (host, crawl_delay, disallow, fetched_at)
+    cache the scheduler's U12 admission/budget joins consume.
+
+    hosts: DataFrame with a host_key column (one fetch per DISTINCT
+    host). transport: (url, timeout) -> (status, body); defaults to a
+    urllib GET. fetched_at_ms is an explicit parameter (never wall
+    clock) so cache builds stay reproducible. A 4xx/5xx/unreachable
+    robots.txt yields the permissive default (no disallow, default
+    crawl delay) — the same semantics the scheduler applies to hosts
+    absent from the cache."""
+    import pandas as pd  # noqa: F811
+
+    if transport is None:
+        def transport(url: str, t: float) -> tuple[int, str]:
+            import urllib.request
+            try:
+                with urllib.request.urlopen(
+                        urllib.request.Request(
+                            url, headers={"User-Agent": user_agent}),
+                        timeout=t) as resp:
+                    return int(resp.status), resp.read().decode("utf-8", "replace")
+            except Exception:
+                return 0, ""
+
+    schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+        T.StructField("disallow", T.ArrayType(T.StringType())),
+        T.StructField("fetched_at", T.TimestampType()),
+    ])
+    ts = pd.Timestamp(fetched_at_ms, unit="ms")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"host": [], "crawl_delay": [], "disallow": [],
+                    "fetched_at": []}
+            for host in pdf["host_key"]:
+                status, body = transport(f"http://{host}/robots.txt",
+                                         timeout_s)
+                dis, delay = (parse_robots_txt(body, user_agent)
+                              if status == 200 else ([], None))
+                rows["host"].append(host)
+                rows["crawl_delay"].append(
+                    delay if delay is not None else default_delay)
+                rows["disallow"].append(dis)
+                rows["fetched_at"].append(ts)
+            yield pd.DataFrame(rows)
+
+    return (hosts.select("host_key").distinct()
+            .mapInPandas(run, schema))
+
+
 def fetch_http(scheduled: DataFrame, transport: Transport = urllib_transport,
                timeout_s: float = 10.0,
                respect_offsets: bool = True) -> DataFrame:

@@ -81,3 +81,56 @@ def test_fetch_offsets_respected(spark):
     delayed = rows["http://a.com/y.jpg"]
     first = min(rows["http://a.com/x.jpg"], rows["http://b.com/z.html"])
     assert delayed - first >= 140   # ms
+
+
+class TestRobotsFetcher:
+    def test_parse_robots_txt_groups(self):
+        from ccspark.fetcher import parse_robots_txt
+        body = (
+            "# comment\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Crawl-delay: 2\n"
+            "\n"
+            "User-agent: ccspark\n"
+            "User-agent: otherbot\n"
+            "Disallow: /only-for-us/\n"
+            "Disallow:\n"           # empty = allow-all line, ignored
+            "Crawl-delay: 0.5\n")
+        assert parse_robots_txt(body, "ccspark") == (["/only-for-us/"], 0.5)
+        assert parse_robots_txt(body, "otherbot") == (["/only-for-us/"], 0.5)
+        assert parse_robots_txt(body, "unknown") == (["/private/"], 2.0)
+        assert parse_robots_txt("", "x") == ([], None)
+
+    def test_fetch_robots_builds_cache_schema(self, spark):
+        """The produced cache must be directly consumable by the
+        scheduler's U12 joins (same columns/types as the fixture cache),
+        with permissive defaults for failed fetches."""
+        from ccspark.fetcher import fetch_robots
+        from ccspark.politeness import robots_admission_filter
+
+        hosts = spark.createDataFrame(
+            [("a.com",), ("b.com",), ("down.com",)], "host_key string")
+
+        def transport(url, timeout_s):
+            if "a.com" in url:
+                return 200, "User-agent: *\nDisallow: /x/\nCrawl-delay: 3\n"
+            if "b.com" in url:
+                return 200, "User-agent: *\nDisallow:\n"
+            return 0, ""
+
+        cache = fetch_robots(hosts, transport=transport,
+                             fetched_at_ms=1767225600000)
+        rows = {r.host: r for r in cache.collect()}
+        assert rows["a.com"].disallow == ["/x/"]
+        assert rows["a.com"].crawl_delay == 3.0
+        assert rows["b.com"].disallow == []
+        assert rows["b.com"].crawl_delay == 0.15     # default
+        assert rows["down.com"].disallow == []       # permissive on failure
+        # plugs straight into the admission join
+        cand = spark.createDataFrame(
+            [("a.com", "http://a.com/x/p.jpg"),
+             ("a.com", "http://a.com/ok.jpg")],
+            "host_key string, url string")
+        kept = robots_admission_filter(cand, cache).collect()
+        assert [r.url for r in kept] == ["http://a.com/ok.jpg"]
