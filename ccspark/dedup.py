@@ -233,6 +233,42 @@ SQL_SIMHASH_CLUSTERS = (
     "SELECT simhash, CAST(count(*) AS BIGINT) AS cluster_size FROM ("
     + _simhash_sql() + ") GROUP BY simhash HAVING count(*) > 1")
 
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """Near-dup pairs within Hamming distance ≤ 3 of the 16-bit SimHash,
+    found by bit-band LSH: split the fingerprint into 4 bands of 4 bits —
+    by pigeonhole, any pair within distance 3 agrees on ≥1 whole band —
+    self-join per (band, band_value) bucket, then verify with
+    bit_count(xor). The shuffle key is the band bucket, never all-pairs:
+    the SimHash twin of the MinHash band join."""
+    sh = q_dedup_simhash(spark, sf_dir)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"))
+    banded = banded.withColumn(
+        "band_val", F.expr("shiftright(simhash, band * 4) & 15"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, ["band", "band_val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(
+                        F.col("b.simhash"))).cast("bigint").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= 3))
+
+
+SQL_SIMHASH_HAMMING_PAIRS = (
+    "WITH sh AS (" + _simhash_sql() + "),"
+    " banded AS (SELECT doc_id, simhash, band,"
+    "   (simhash >> (band * 4)) & 15 AS band_val"
+    "   FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b)"
+    " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    "  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming"
+    " FROM banded a JOIN banded b"
+    "   ON a.band = b.band AND a.band_val = b.band_val"
+    "   AND a.doc_id < b.doc_id"
+    " WHERE bit_count(xor(a.simhash, b.simhash)) <= 3")
+
 # ---------------------------------------------------------------------------
 # exact pairwise n-gram Jaccard on a bounded window (doc_id < 50) — the
 # correctness yardstick the LSH path approximates
@@ -283,5 +319,6 @@ REG: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "simhash_clusters": (q_simhash_clusters, SQL_SIMHASH_CLUSTERS),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     "ngram_jaccard_topk": (q_ngram_jaccard_topk, SQL_NGRAM_JACCARD_TOPK),
 }
