@@ -32,13 +32,16 @@ def q_crawl_scheduled(spark, sf_dir):
     """Two full scheduling rounds on the sf-matched fixture; returns the
     scheduled rows in crawl total order (north_rule's core artifact).
 
-    State lives at a deterministic per-sf path, wiped at the start of
-    each invocation — repeated driver/bench runs reuse ONE directory
-    instead of accumulating mkdtemp snapshot state in /tmp."""
+    State lives at a deterministic per-sf, per-PROCESS path, wiped at
+    the start of each invocation — repeated runs inside one driver/bench
+    process reuse ONE directory instead of accumulating mkdtemp snapshot
+    state in /tmp, while the PID suffix keeps two concurrent processes
+    on the same sf from wiping each other's live snapshots mid-run."""
     fx = fixture_for_sf(sf_dir)
     state = os.path.join(
         tempfile.gettempdir(),
-        "ccspark_state_" + os.path.basename(os.path.normpath(sf_dir)))
+        "ccspark_state_%s_p%d" % (
+            os.path.basename(os.path.normpath(sf_dir)), os.getpid()))
     shutil.rmtree(state, ignore_errors=True)
     eng = CrawlEngine(spark, state, fx["documents"], fx["seeds"], fx["robots"],
                       params=_CRAWL_PARAMS)
@@ -103,12 +106,52 @@ CRAWL_REG = {
 # merged registry
 # ---------------------------------------------------------------------------
 
-ALL: dict[str, tuple] = {}
+_MERGED: dict[str, tuple] = {}
 for mod in (analytics, dedup, similarity, textops, multimodal, warc, htmlspans):
-    overlap = ALL.keys() & mod.REG.keys()
+    overlap = _MERGED.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
-    ALL.update(mod.REG)
-ALL.update(CRAWL_REG)
+    _MERGED.update(mod.REG)
+_MERGED.update(CRAWL_REG)
+
+# The driver's correctness gate runs the FIRST 50 queries() entries in
+# insertion order (measured: CORRECTNESS_r01 recorded all 48 queries that
+# existed; CORRECTNESS_r02 recorded exactly entries 0-49 of 57 — a
+# positional cap, not a fixture or timeout issue). GATE_ORDER therefore
+# pins the 50 driver slots to the oracle-backed queries, one per
+# operator family; everything past the cap is still first-class — it
+# stays in queries(), and tests/test_queries_oracle.py verifies every
+# oracle-backed entry (gated or not) against its DuckDB twin on every
+# pytest run. Demoted past the cap: pipeline INTERMEDIATES whose final
+# stage is gated (minhash_signatures ⊂ dedup_minhash_lsh, ann_lsh_buckets
+# ⊂ ann_lsh_topk, ann_ivf_cells ⊂ ann_ivf_topk, simhash_clusters ⊂
+# simhash_hamming_pairs, media_frame_sample — same mapInPandas plumbing
+# as the gated media_decode) and the four rows-only crawl queries (no
+# DuckDB twin by design; pinned by the pure-Python oracle tests).
+GATE_ORDER = [
+    "word_count", "top_words", "word_count_min100", "tag_count",
+    "server_count", "source_lang_freq", "first_wins_dedup", "sum_by_key",
+    "topk_per_key", "class_balance", "discriminative_words",
+    "ngram_pruned_vocab", "counters", "seen_anti_join", "region_members",
+    "vocab_join", "url_hosts", "media_url_filter", "fetch_sim",
+    "politeness_budget", "events_daily", "url_words", "fetch_worthy",
+    "http_body_split", "distinct_users_by_type", "approx_distinct_users",
+    "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "simhash_hamming_pairs", "ngram_jaccard_topk", "ann_bruteforce_topk",
+    "embedding_neardup_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_ivf_recall", "classifier_eval", "lang_id", "quality_score",
+    "token_count", "doc_fingerprint", "char_ngrams", "media_decode",
+    "warc_ingest_tag_count", "wet_ingest_word_count",
+    "wat_ingest_server_count", "html_to_spans",
+]
+
+_DRIVER_GATE_CAP = 50
+assert len(GATE_ORDER) <= _DRIVER_GATE_CAP, "gate order exceeds driver cap"
+for _n in GATE_ORDER:
+    assert _n in _MERGED, f"gate entry {_n} not registered"
+    assert _MERGED[_n][1] is not None, f"gate entry {_n} has no oracle"
+
+ALL: dict[str, tuple] = {n: _MERGED[n] for n in GATE_ORDER}
+ALL.update({n: v for n, v in _MERGED.items() if n not in ALL})
 
 
 def queries():
