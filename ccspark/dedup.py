@@ -7,7 +7,8 @@ this module) paired with a DuckDB oracle:
 - exact:        md5 content hash → first-wins group (hash-groupBy)
 - minhash LSH:  3-word shingles → per-band min-hash → band-bucket
                 self-join → candidate pairs verified with exact Jaccard
-- simhash:      16-bit weighted sign-sum fingerprint → bucket clustering
+- simhash:      60-bit weighted sign-sum fingerprint → bucket clustering
+                + 4×15-bit Hamming band join for near-dup pairs
 - ngram Jaccard: exact pairwise 3-shingle Jaccard on a bounded window
 - embedding:    cosine near-dup pairs (see ccspark.similarity for ANN)
 
@@ -28,7 +29,16 @@ from .analytics import t
 
 N_BANDS = 8          # LSH bands, one hash row per band (r=1)
 SHINGLE_W = 3        # words per shingle
-SIMHASH_BITS = 16
+# 60-bit SimHash (15 md5 hex digits — the repo's standard cross-engine
+# 64-bit-safe hash width): 4 bands × 15 bits = 32,768 bucket values per
+# band. Round 2 shipped 16 bits (4-bit bands → 16 values/band), which
+# degraded the Hamming band join to ~n²/16 candidate pairs — quadratic
+# with a constant. At 60 bits the per-band collision rate for unrelated
+# docs is 2^-15, so candidates are dominated by true near-dups (the
+# Manku/Google WWW'07 regime), not by bucket exhaustion.
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+SIMHASH_N_BANDS = 4   # pigeonhole: Hamming ≤ 3 ⇒ ≥1 of 4 bands equal
 
 # ---------------------------------------------------------------------------
 # shared shingle plan
@@ -179,8 +189,10 @@ SQL_DEDUP_MINHASH_LSH = (
     " JOIN sizes sb ON sb.doc_id = p.doc_b")
 
 # ---------------------------------------------------------------------------
-# SimHash — 16-bit fingerprint: bit_j set iff sum over tokens of
-# count × (2·bit_j(hash16(token)) − 1) > 0. hash16 = first 4 md5 hex digits.
+# SimHash — 60-bit fingerprint: bit_j set iff sum over tokens of
+# count × (2·bit_j(hash60(token)) − 1) > 0. hash60 = first 15 md5 hex
+# digits (Spark conv(...,16,10) == DuckDB ('0x'||...)::BIGINT, both exact
+# below 2^63).
 # ---------------------------------------------------------------------------
 
 
@@ -189,8 +201,8 @@ def q_dedup_simhash(spark, sf_dir):
           .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
           .filter(F.col("word") != "")
           .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-          .withColumn("v", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10)
-                      .cast("int")))
+          .withColumn("v", F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+                      .cast("bigint")))
     aggs = [
         F.sum(F.col("c") * (F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)) * 2 - 1))
         .alias(f"s{j}")
@@ -213,7 +225,7 @@ def _simhash_sql() -> str:
         "SELECT doc_id, CAST(" + combine + " AS BIGINT) AS simhash FROM ("
         f" SELECT doc_id, {sums} FROM ("
         "   SELECT doc_id, word, count(*) AS c,"
-        "    ('0x' || substr(md5(word), 1, 4))::INT AS v"
+        "    ('0x' || substr(md5(word), 1, 15))::BIGINT AS v"
         "   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)"
         "   WHERE word <> '' GROUP BY doc_id, word)"
         " GROUP BY doc_id)")
@@ -234,18 +246,25 @@ SQL_SIMHASH_CLUSTERS = (
     + _simhash_sql() + ") GROUP BY simhash HAVING count(*) > 1")
 
 def q_simhash_hamming_pairs(spark, sf_dir):
-    """Near-dup pairs within Hamming distance ≤ 3 of the 16-bit SimHash,
-    found by bit-band LSH: split the fingerprint into 4 bands of 4 bits —
+    """Near-dup pairs within Hamming distance ≤ 3 of the 60-bit SimHash,
+    found by bit-band LSH: split the fingerprint into 4 bands of 15 bits —
     by pigeonhole, any pair within distance 3 agrees on ≥1 whole band —
     self-join per (band, band_value) bucket, then verify with
-    bit_count(xor). The shuffle key is the band bucket, never all-pairs:
-    the SimHash twin of the MinHash band join."""
+    bit_count(xor). The shuffle key is the band bucket (2^15 = 32,768
+    values per band), never all-pairs: the SimHash twin of the MinHash
+    band join. Unrelated docs collide in a band with probability 2^-15,
+    so the candidate set is dominated by true near-dups rather than
+    bucket exhaustion (round 2's 16-bit fingerprint gave only 16 values
+    per band → ~n²/16 candidates — the scale-killer this width fixes)."""
     sh = q_dedup_simhash(spark, sf_dir)
     banded = sh.select(
         "doc_id", "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"))
+        F.explode(F.sequence(
+            F.lit(0), F.lit(SIMHASH_N_BANDS - 1))).alias("band"))
     banded = banded.withColumn(
-        "band_val", F.expr("shiftright(simhash, band * 4) & 15"))
+        "band_val", F.expr(
+            f"shiftright(simhash, band * {SIMHASH_BAND_BITS})"
+            f" & {(1 << SIMHASH_BAND_BITS) - 1}"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, ["band", "band_val"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -260,8 +279,10 @@ def q_simhash_hamming_pairs(spark, sf_dir):
 SQL_SIMHASH_HAMMING_PAIRS = (
     "WITH sh AS (" + _simhash_sql() + "),"
     " banded AS (SELECT doc_id, simhash, band,"
-    "   (simhash >> (band * 4)) & 15 AS band_val"
-    "   FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b)"
+    f"   (simhash >> (band * {SIMHASH_BAND_BITS}))"
+    f"    & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val"
+    f"   FROM sh, (SELECT unnest(generate_series(0, {SIMHASH_N_BANDS - 1}))"
+    "    AS band) b)"
     " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,"
     "  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming"
     " FROM banded a JOIN banded b"
