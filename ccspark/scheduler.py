@@ -307,13 +307,24 @@ class CrawlEngine:
                 and (r + 1) % p.compact_seen_every == 0):
             # chain maintenance AFTER the round commit: a crash here just
             # loses the compaction, never round data
-            self.seen.seen_tbl.compact_chain(
+            versions["seen"] = self.seen.seen_tbl.compact_chain(
                 r, repartition=(min(p.seen_partitions, 32), "bucket"))
+            # bloom: materialize latest-bucket-wins so the delta chain
+            # stays bounded (same cadence as the seen chain)
+            bv = self.seen.compact_bloom(r)
+            if bv is not None:
+                versions["bloom"] = bv
             # frontier: materialize the live set as a 'full' snapshot so
             # the merge-on-read subtraction chain stays bounded
-            self.frontier_tbl.commit(
+            versions["frontier"] = self.frontier_tbl.commit(
                 self.live_frontier(), r, kind="full",
                 repartition=(min(p.seen_partitions, 32), "bucket"))
+            # RE-commit the round log with the compacted versions —
+            # without this, rollback_to_last_round (batch resume AND
+            # every streaming micro-batch) treats the compaction
+            # snapshots as orphans of a crashed attempt and deletes
+            # them, silently re-growing the chains it just bounded.
+            self.store.commit_round(r, versions, m, batch_id=batch_id)
         for df in (new, frontier, sched):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])

@@ -12,7 +12,10 @@ are bookkept separately):
 
 2. **Partitioned bloom accelerator**: one bitmap per bucket, built and
    probed inside Arrow applyInPandas/cogroup kernels (vectorized numpy —
-   no per-row Python), persisted as a (bucket, bitmap, n) snapshot table.
+   no per-row Python), persisted as a (bucket, bitmap, n, v) snapshot
+   table committed as PER-BUCKET DELTAS: a round writes only the buckets
+   that received new URLs, reads resolve latest-bucket-wins (max_by v),
+   and compaction periodically materializes the resolved state.
    Probing splits candidates into definitely-new (bypass the exact join
    entirely — the common case on a growing crawl) and maybe-seen (the
    only rows that pay the exact anti-join shuffle). False positives cost
@@ -41,6 +44,12 @@ BLOOM_SCHEMA = T.StructType([
     T.StructField("bitmap", T.BinaryType()),
     T.StructField("n", T.LongType()),
 ])
+
+# persisted rows additionally carry the snapshot version that wrote them
+# (latest-bucket-wins on read), so each round commits ONLY the buckets
+# that received new URLs as a delta instead of rewriting every bitmap
+BLOOM_ROW_SCHEMA = T.StructType(
+    BLOOM_SCHEMA.fields + [T.StructField("v", T.LongType())])
 
 
 def _bit_positions(urls: pd.Series, m_bits: int, k: int) -> np.ndarray:
@@ -80,7 +89,30 @@ class SeenSet:
         return self.seen_tbl.read_chain(version) if self.seen_tbl.exists() else None
 
     def _bloom_df(self) -> DataFrame | None:
-        return self.bloom_tbl.read() if self.bloom_tbl.exists() else None
+        """Latest bitmap per bucket, resolved merge-on-read over the delta
+        chain: each round commits only the buckets it touched, so a
+        bucket's current bitmap is its row with the highest writer
+        version `v` since the last 'full' (compaction) snapshot. The
+        resolve is a max_by over ≤ P × chain-length tiny rows — nothing
+        like the 12 GiB full-rewrite round 2 paid per round."""
+        if not self.bloom_tbl.exists():
+            return None
+        chain = self.bloom_tbl.read_chain()
+        return (chain.groupBy("bucket")
+                .agg(F.max_by(F.struct("bitmap", "n"), F.col("v")).alias("_b"),
+                     F.max("v").alias("v"))
+                .select("bucket", "_b.bitmap", "_b.n", "v"))
+
+    def compact_bloom(self, round_no: int) -> int | None:
+        """Materialize the resolved per-bucket state as a 'full' snapshot
+        so the latest-bucket-wins chain stays bounded (the bloom twin of
+        the seen chain's compact_chain)."""
+        resolved = self._bloom_df()
+        if resolved is None:
+            return None
+        return self.bloom_tbl.commit(
+            resolved, round_no, kind="full",
+            repartition=(min(self.partitions, 64), "bucket"))
 
     # -- filter candidates to never-seen ------------------------------------
 
@@ -134,6 +166,12 @@ class SeenSet:
             m, k = self.m, self.k
 
             def fold(key, urls_pdf, bloom_pdf):
+                if len(urls_pdf) == 0:
+                    # bucket present only on the bloom side (can't happen
+                    # after the semi-join below, but keep fold total):
+                    # nothing new → emit nothing, the old row stays live
+                    return pd.DataFrame(
+                        {c: [] for c in ("bucket", "bitmap", "n")})
                 if len(bloom_pdf):
                     bits = np.unpackbits(np.frombuffer(bloom_pdf["bitmap"].iloc[0],
                                                        dtype=np.uint8)).copy()
@@ -141,20 +179,31 @@ class SeenSet:
                 else:
                     bits = np.zeros(m, dtype=np.uint8)
                     n = 0
-                if len(urls_pdf):
-                    idx = _bit_positions(urls_pdf["url"], m, k)
-                    bits[idx.ravel()] = 1
-                    n += len(urls_pdf)
+                idx = _bit_positions(urls_pdf["url"], m, k)
+                bits[idx.ravel()] = 1
+                n += len(urls_pdf)
                 return pd.DataFrame({"bucket": [key[0]],
                                      "bitmap": [np.packbits(bits).tobytes()],
                                      "n": [n]})
 
+            new_urls = add_df.select("bucket", "url")
             bloom = self._bloom_df()
             if bloom is None:
-                bloom = self.spark.createDataFrame([], BLOOM_SCHEMA)
-            folded = (add_df.select("bucket", "url").groupBy("bucket")
-                      .cogroup(bloom.groupBy("bucket"))
+                bloom = self.spark.createDataFrame([], BLOOM_ROW_SCHEMA)
+            else:
+                # DELTA commit: fold (and re-emit) ONLY buckets that
+                # received new URLs this round. Round 2 cogrouped the
+                # full bloom table and re-wrote every bitmap every round
+                # (≈12 GiB/round at the 1e10-URL design point no matter
+                # how few URLs arrived); untouched buckets now stay in
+                # their old snapshot files and win via max_by(v) on read.
+                bloom = bloom.join(new_urls.select("bucket").distinct(),
+                                   "bucket", "left_semi")
+            folded = (new_urls.groupBy("bucket")
+                      .cogroup(bloom.drop("v").groupBy("bucket"))
                       .applyInPandas(fold, schema=BLOOM_SCHEMA))
+            next_v = (self.bloom_tbl.latest_version() or 0) + 1
             versions["bloom"] = self.bloom_tbl.commit(
-                folded, round_no, repartition=(min(self.partitions, 64), "bucket"))
+                folded.withColumn("v", F.lit(next_v).cast("long")),
+                round_no, repartition=(min(self.partitions, 64), "bucket"))
         return versions

@@ -100,6 +100,65 @@ class TestBloomEquivalence:
         seen = {r.url for r in eng.seen.seen_df().select("url").collect()}
         assert seen == set(oracle_small.seen)
 
+    def test_bloom_delta_commit_skips_untouched_buckets(self, spark, tmp_path):
+        """A round's bloom commit writes ONLY the buckets that received
+        new URLs; untouched buckets stay in their earlier snapshot files
+        (latest-bucket-wins on read). Round 2 rewrote every bitmap every
+        round — 12 GiB/round at the 1e10-URL design point."""
+        from ccspark.seen import SeenSet, with_bucket
+        from ccspark.tables import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "st"))
+        seen = SeenSet(store, partitions=8, use_bloom=True,
+                       bits_per_bucket=1 << 12)
+        urls0 = spark.createDataFrame(
+            [(f"http://h/{i}",) for i in range(64)], "url string")
+        seen.add(with_bucket(urls0, partitions=8), 0)
+        v1 = seen.bloom_tbl.latest_version()
+        v1_files = seen.bloom_tbl.meta(v1)["files"]
+        n_buckets_v1 = seen.bloom_tbl.read(v1).count()
+        assert n_buckets_v1 > 1  # 64 urls spread over several buckets
+
+        one = with_bucket(spark.createDataFrame(
+            [("http://h/brand-new-url",)], "url string"), partitions=8)
+        new = seen.filter_new(one)
+        assert new.count() == 1
+        seen.add(new, 1)
+        v2 = seen.bloom_tbl.latest_version()
+        # the delta snapshot holds exactly the one touched bucket …
+        assert seen.bloom_tbl.read(v2).count() == 1
+        # … the earlier snapshot's manifest (and files) are untouched …
+        assert seen.bloom_tbl.meta(v1)["files"] == v1_files
+        # … and the resolved state is still the union: nothing re-admits
+        resolved = {r.bucket: r.n for r in seen._bloom_df().collect()}
+        assert sum(resolved.values()) == 65
+        both = urls0.union(spark.createDataFrame(
+            [("http://h/brand-new-url",)], "url string"))
+        assert seen.filter_new(with_bucket(both, partitions=8)).count() == 0
+
+    def test_bloom_compaction_bounds_chain_and_preserves_state(
+            self, spark, tmp_path):
+        from ccspark.seen import SeenSet, with_bucket
+        from ccspark.tables import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "stc"))
+        seen = SeenSet(store, partitions=4, use_bloom=True,
+                       bits_per_bucket=1 << 12)
+        for r in range(3):
+            urls = spark.createDataFrame(
+                [(f"http://h/r{r}/{i}",) for i in range(20)], "url string")
+            seen.add(seen.filter_new(with_bucket(urls, partitions=4)), r)
+        before = {r.bucket: (r.bitmap, r.n)
+                  for r in seen._bloom_df().collect()}
+        seen.compact_bloom(2)
+        after = {r.bucket: (r.bitmap, r.n)
+                 for r in seen._bloom_df().collect()}
+        assert before == after
+        # post-compaction the chain read touches ONE snapshot (the full)
+        last = seen.bloom_tbl.latest_version()
+        assert seen.bloom_tbl.meta(last)["kind"] == "full"
+        assert seen.bloom_tbl.read_chain().count() == len(before)
+
 
 class TestResume:
     def test_resume_after_partial_run_is_byte_identical(self, spark, fx_small,
