@@ -64,8 +64,11 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], float
     """(disallow prefixes, crawl_delay) for the matching agent group.
 
     Minimal, deterministic robots.txt grammar: User-agent groups,
-    Disallow paths, Crawl-delay seconds; the '*' group applies unless a
-    more specific agent group matches; empty Disallow = allow-all line.
+    Disallow paths, Crawl-delay seconds; empty Disallow = allow-all
+    line. Group selection follows RFC 9309 §2.2.1 longest-match: among
+    groups whose agent token is a case-insensitive PREFIX of our
+    user-agent ('Googlebot' matches UA 'googlebot-images'), the longest
+    token wins; the '*' group applies only when no named group matches.
     (The reference has no robots handling at all — U12 is the
     north_rule's addition; this parser feeds the same cache schema the
     scheduler's admission/budget joins consume.)"""
@@ -99,9 +102,11 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], float
                         pass
                 groups[a] = (dis, delay)
     ua = user_agent.lower()
-    for candidate in (ua, "*"):
-        if candidate in groups:
-            return groups[candidate]
+    named = [g for g in groups if g != "*" and ua.startswith(g)]
+    if named:
+        return groups[max(named, key=len)]
+    if "*" in groups:
+        return groups["*"]
     return [], None
 
 
@@ -116,11 +121,16 @@ def fetch_robots(hosts: DataFrame,
 
     hosts: DataFrame with a host_key column (one fetch per DISTINCT
     host). transport: (url, timeout) -> (status, body); defaults to a
-    urllib GET. fetched_at_ms is an explicit parameter (never wall
-    clock) so cache builds stay reproducible. A 4xx/5xx/unreachable
-    robots.txt yields the permissive default (no disallow, default
-    crawl delay) — the same semantics the scheduler applies to hosts
-    absent from the cache."""
+    urllib GET capped at 512 KB (RFC 9309 §2.5 requires parsing at
+    least 500 KiB; an unbounded read would let a redirect to a huge
+    page stall the cache build). https:// is tried first with an
+    http:// fallback on unreachability (status 0) — an https 4xx/5xx
+    is an authoritative robots answer and does NOT fall back.
+    fetched_at_ms is an explicit parameter (never wall clock) so cache
+    builds stay reproducible. A 4xx/5xx/unreachable robots.txt yields
+    the permissive default (no disallow, default crawl delay) — the
+    same semantics the scheduler applies to hosts absent from the
+    cache."""
     import pandas as pd  # noqa: F811
 
     if transport is None:
@@ -131,7 +141,8 @@ def fetch_robots(hosts: DataFrame,
                         urllib.request.Request(
                             url, headers={"User-Agent": user_agent}),
                         timeout=t) as resp:
-                    return int(resp.status), resp.read().decode("utf-8", "replace")
+                    body = resp.read(512 * 1024)
+                    return int(resp.status), body.decode("utf-8", "replace")
             except Exception:
                 return 0, ""
 
@@ -148,8 +159,12 @@ def fetch_robots(hosts: DataFrame,
             rows = {"host": [], "crawl_delay": [], "disallow": [],
                     "fetched_at": []}
             for host in pdf["host_key"]:
-                status, body = transport(f"http://{host}/robots.txt",
-                                         timeout_s)
+                status, body = 0, ""
+                for scheme in ("https", "http"):
+                    status, body = transport(
+                        f"{scheme}://{host}/robots.txt", timeout_s)
+                    if status != 0:   # reachable: answer is authoritative
+                        break
                 dis, delay = (parse_robots_txt(body, user_agent)
                               if status == 200 else ([], None))
                 rows["host"].append(host)
@@ -169,18 +184,27 @@ def fetch_http(scheduled: DataFrame, transport: Transport = urllib_transport,
     """Fetch each scheduled row over HTTP inside mapInPandas.
 
     respect_offsets: honor the deterministic fetch_offset_ms stamps —
-    each partition sleeps until a row's offset relative to the
-    partition's own start, reproducing the per-host crawl-delay spacing
-    (the scheduler routes a host's rows into one partition via the
-    host_key shuffle, so local replay enforces the budget globally)."""
+    rows are sorted by offset inside each partition (JVM-side
+    sortWithinPartitions, so unsorted arrival can't reorder issue
+    times), each partition sleeps until a row's offset relative to the
+    partition's own start, AND a per-host last-issue floor guarantees
+    that falling behind schedule (slow fetches) never compresses two
+    same-host issues closer than the schedule's encoded gap: the next
+    issue waits for max(schedule offset, last_issue[host] + the
+    offset delta the schedule assigned between the two rows). The
+    scheduler routes a host's rows into one partition via the host_key
+    shuffle, so local replay enforces the budget globally."""
     clock, sleep = time.monotonic, time.sleep
     fields = [f for f in scheduled.schema.fields
               if f.name not in {x.name for x in FETCH_SCHEMA_APPEND}]
     out_schema = T.StructType(fields + FETCH_SCHEMA_APPEND)
     names = [f.name for f in fields]
+    if respect_offsets and "fetch_offset_ms" in scheduled.columns:
+        scheduled = scheduled.sortWithinPartitions("fetch_offset_ms")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = None   # anchored to the FIRST row processed, not generator
+        last_issue: dict = {}   # host -> (issue time, its schedule offset s)
         for pdf in batches:
             if t0 is None:
                 t0 = clock()
@@ -188,11 +212,19 @@ def fetch_http(scheduled: DataFrame, transport: Transport = urllib_transport,
                    "content_length": [], "latency_ms": [], "fetch_id": []}
             offsets = (pdf["fetch_offset_ms"] if "fetch_offset_ms" in pdf
                        else pd.Series([0] * len(pdf)))
-            for url, off in zip(pdf["url"], offsets):
+            hosts = (pdf["host_key"] if "host_key" in pdf
+                     else pd.Series([""] * len(pdf)))
+            for url, off, host in zip(pdf["url"], offsets, hosts):
                 if respect_offsets:
-                    wait = off / 1000.0 - (clock() - t0)
+                    target = t0 + off / 1000.0
+                    if host in last_issue:
+                        t_prev, off_prev = last_issue[host]
+                        target = max(target,
+                                     t_prev + (off - off_prev) / 1000.0)
+                    wait = target - clock()
                     if wait > 0:
                         sleep(wait)
+                    last_issue[host] = (clock(), off)
                 t1 = clock()
                 status, ctype, clen = transport(url, timeout_s)
                 h = hashlib.md5(url.encode("utf-8")).hexdigest()

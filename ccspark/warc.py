@@ -54,33 +54,42 @@ RESPONSE_MIME = "application/http; msgtype=response"
 
 def _iter_warc_records(raw: bytes):
     """Yield (headers: dict, content: bytes, corrupt: int) from one
-    gzipped WARC file. Handles per-record gzip members (Common Crawl's
-    layout) and whole-file gzip alike — Python's gzip transparently
-    reads concatenated members. Lenient: a malformed record skips ahead
-    to the next 'WARC/' marker and counts, mirroring the reference's
-    per-record try/catch (TagCounterMap.java:62-66)."""
-    data = gzip.decompress(raw)
-    pos, n = 0, len(data)
-    while pos < n:
-        start = data.find(b"WARC/", pos)
-        if start < 0:
+    gzipped WARC file, STREAMING: records are decoded incrementally
+    through gzip.GzipFile, so executor memory holds the compressed
+    bytes (the binaryFile row) plus one record at a time — never the
+    whole decompressed segment (typically 3-5x a ~1 GB .gz), matching
+    the reference's one-ArchiveReader-per-file streaming reader
+    (WARCFileRecordReader.java:30-75). Handles per-record gzip members
+    (Common Crawl's layout) and whole-file gzip alike — Python's gzip
+    transparently reads concatenated members. Lenient: a malformed
+    record skips ahead to the next 'WARC/' version line and counts,
+    mirroring the reference's per-record try/catch
+    (TagCounterMap.java:62-66)."""
+    stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    while True:
+        line = stream.readline()
+        if not line:
             break
+        if not line.startswith(b"WARC/"):
+            continue   # inter-record padding / resync scan after a corrupt one
         try:
-            hdr_end = data.index(b"\r\n\r\n", start)
-            lines = data[start:hdr_end].split(b"\r\n")
             headers: dict = {}
-            for ln in lines[1:]:
+            while True:
+                ln = stream.readline()
+                if not ln:
+                    raise ValueError("truncated header block")
+                ln = ln.rstrip(b"\r\n")
+                if not ln:
+                    break
                 k, _, v = ln.partition(b": ")
                 headers[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
             clen = int(headers["Content-Length"])
-            body_start = hdr_end + 4
-            if body_start + clen > n:
+            body = stream.read(clen)
+            if len(body) < clen:
                 raise ValueError("truncated record")
-            yield headers, data[body_start:body_start + clen], 0
-            pos = body_start + clen
+            yield headers, body, 0
         except Exception:
             yield {}, b"", 1
-            pos = start + 5
 
 
 def warc_records(spark: SparkSession, path: str) -> DataFrame:
@@ -89,18 +98,24 @@ def warc_records(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        chunk = 256   # records per emitted Arrow batch: bounds executor
+        for pdf in batches:            # memory at one chunk, not one file
             for fpath, raw in zip(pdf["path"], pdf["content"]):
+                fname = os.path.basename(fpath)
                 rows = {k: [] for k in ("file", "record_type", "url", "mime",
                                         "content", "corrupt")}
                 for headers, content, corrupt in _iter_warc_records(bytes(raw)):
-                    rows["file"].append(os.path.basename(fpath))
+                    rows["file"].append(fname)
                     rows["record_type"].append(headers.get("WARC-Type", ""))
                     rows["url"].append(headers.get("WARC-Target-URI", ""))
                     rows["mime"].append(headers.get("Content-Type", ""))
                     rows["content"].append(content)
                     rows["corrupt"].append(corrupt)
-                yield pd.DataFrame(rows)
+                    if len(rows["file"]) >= chunk:
+                        yield pd.DataFrame(rows)
+                        rows = {k: [] for k in rows}
+                if rows["file"]:
+                    yield pd.DataFrame(rows)
 
     return files.mapInPandas(parse, RECORD_SCHEMA)
 

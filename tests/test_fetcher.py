@@ -83,6 +83,35 @@ def test_fetch_offsets_respected(spark):
     assert delayed - first >= 140   # ms
 
 
+def test_fetch_delay_floor_under_lateness(spark):
+    """A slow fetch pushes the partition behind schedule; the per-host
+    floor must still keep same-host issue times >= the schedule's
+    encoded gap (ADVICE: without it, lateness compresses the spacing
+    below crawl_delay). Rows are also given out of order to exercise the
+    sortWithinPartitions path."""
+    import time as _t
+
+    rows = [("http://a.com/3.jpg", "a.com", 200),
+            ("http://a.com/1.jpg", "a.com", 0),
+            ("http://a.com/2.jpg", "a.com", 100)]
+    sched = spark.createDataFrame(
+        rows, "url string, host_key string, fetch_offset_ms long")
+
+    def slow_first(url, timeout_s):
+        if url.endswith("1.jpg"):
+            _t.sleep(0.3)   # 3x the 100 ms gap: schedule is now behind
+        return 200, "x", int((_t.monotonic() % 1e6) * 1000)
+
+    out = {r.url: r.content_length for r in
+           fetch_http(sched.coalesce(1), transport=slow_first,
+                      respect_offsets=True).collect()}
+    # content_length records the transport's wall clock AFTER any fetch
+    # sleep, so issue gap >= (stamp gap - fetch duration); fetches 2 and
+    # 3 are instant, so their stamps are the issue times.
+    assert out["http://a.com/2.jpg"] < out["http://a.com/3.jpg"]
+    assert out["http://a.com/3.jpg"] - out["http://a.com/2.jpg"] >= 90
+
+
 class TestRobotsFetcher:
     def test_parse_robots_txt_groups(self):
         from ccspark.fetcher import parse_robots_txt
@@ -101,6 +130,55 @@ class TestRobotsFetcher:
         assert parse_robots_txt(body, "otherbot") == (["/only-for-us/"], 0.5)
         assert parse_robots_txt(body, "unknown") == (["/private/"], 2.0)
         assert parse_robots_txt("", "x") == ([], None)
+
+    def test_parse_robots_longest_prefix_agent_match(self):
+        """RFC 9309 §2.2.1: the group whose agent token is the LONGEST
+        prefix of our UA wins; '*' only when no named group matches."""
+        from ccspark.fetcher import parse_robots_txt
+        body = (
+            "User-agent: *\n"
+            "Disallow: /all/\n"
+            "User-agent: cc\n"
+            "Disallow: /cc/\n"
+            "User-agent: ccspark\n"
+            "Disallow: /ccspark/\n")
+        # UA 'ccspark-media/0.1' prefix-matches both 'cc' and 'ccspark';
+        # the longer token wins
+        assert parse_robots_txt(body, "ccspark-media") == (["/ccspark/"], None)
+        assert parse_robots_txt(body, "ccbot") == (["/cc/"], None)
+        assert parse_robots_txt(body, "google") == (["/all/"], None)
+        # prefix match is on the GROUP token, not the UA: a group longer
+        # than the UA does not match
+        assert parse_robots_txt(body, "c") == (["/all/"], None)
+
+    def test_fetch_robots_https_first_http_fallback(self, spark):
+        """https:// is authoritative when reachable (even 404); http://
+        is tried only when https is unreachable (status 0)."""
+        from ccspark.fetcher import fetch_robots
+
+        hosts = spark.createDataFrame(
+            [("tls.com",), ("legacy.com",), ("tls404.com",)],
+            "host_key string")
+
+        def transport(url, timeout_s):
+            if url == "https://tls.com/robots.txt":
+                return 200, "User-agent: *\nDisallow: /secure/\n"
+            if url == "http://tls.com/robots.txt":
+                return 200, "User-agent: *\nDisallow: /WRONG/\n"
+            if url == "https://legacy.com/robots.txt":
+                return 0, ""        # no TLS endpoint
+            if url == "http://legacy.com/robots.txt":
+                return 200, "User-agent: *\nDisallow: /old/\n"
+            if url == "https://tls404.com/robots.txt":
+                return 404, ""      # authoritative: no robots file
+            return 200, "User-agent: *\nDisallow: /MUST-NOT-REACH/\n"
+
+        rows = {r.host: r for r in
+                fetch_robots(hosts, transport=transport,
+                             fetched_at_ms=1767225600000).collect()}
+        assert rows["tls.com"].disallow == ["/secure/"]
+        assert rows["legacy.com"].disallow == ["/old/"]
+        assert rows["tls404.com"].disallow == []   # permissive, no fallback
 
     def test_fetch_robots_builds_cache_schema(self, spark):
         """The produced cache must be directly consumable by the
