@@ -29,15 +29,24 @@ def extract_links(docs: DataFrame, follow_links: bool = True) -> DataFrame:
     """documents(doc_id, page_url, spans) → one row per extracted link.
 
     Output: url_raw, page_url, kind, alt, parent_txt, dom_depth, dom_sib,
-    src_doc_id, offset. Flat-span field mapping per SURVEY.md §1.4:
-    alt := span.text (≤500 chars, MediaNodeVisitor.java:44,146-152),
+    src_doc_id, offset, event_ms. Flat-span field mapping per SURVEY.md
+    §1.4: alt := span.text (≤500 chars, MediaNodeVisitor.java:44,146-152),
     dom_depth := span.offset, dom_sib := size(spans)-1.
+
+    event_ms is the candidate's event time (epoch millis): the fetch time
+    of the page the link was found on, carried from a `fetch_ms` column on
+    docs when present (the WARC ingest stamps WARC-Date there), else null.
+    Streaming watermarks key off it (ccspark.streaming.discovery_rate);
+    the batch scheduler ignores it.
     """
+    event_ms = (F.col("fetch_ms").cast("long") if "fetch_ms" in docs.columns
+                else F.lit(None).cast("long"))
     sp = F.col("sp")
     exploded = docs.select(
         F.col("doc_id").alias("src_doc_id"),
         "page_url",
         (F.size("spans") - F.lit(1)).alias("dom_sib"),
+        event_ms.alias("event_ms"),
         F.explode("spans").alias("sp"),
     )
     ref = sp.getField("media_ref")
@@ -62,6 +71,7 @@ def extract_links(docs: DataFrame, follow_links: bool = True) -> DataFrame:
             F.col("dom_sib").cast("int"),
             "src_doc_id",
             sp.getField("offset").cast("int").alias("offset"),
+            "event_ms",
         )
     )
 

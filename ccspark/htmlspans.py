@@ -219,12 +219,17 @@ def spans_udf(html: pd.Series) -> pd.Series:
 def html_docs_to_spans(df: DataFrame, html_col: str = "body",
                        url_col: str = "url",
                        doc_id_col: str | None = None) -> DataFrame:
-    """(doc_id, page_url, spans) — the input_hint documents shape — from a
-    DataFrame of raw HTML. doc_id defaults to the page url."""
+    """(doc_id, page_url, spans[, fetch_ms]) — the input_hint documents
+    shape — from a DataFrame of raw HTML. doc_id defaults to the page
+    url; a fetch_ms column (WARC-Date epoch millis from
+    warc_html_bodies) passes through as the documents' event time."""
     doc_id = F.col(doc_id_col) if doc_id_col else F.col(url_col)
-    return df.select(doc_id.cast("string").alias("doc_id"),
-                     F.col(url_col).alias("page_url"),
-                     spans_udf(F.col(html_col)).alias("spans"))
+    cols = [doc_id.cast("string").alias("doc_id"),
+            F.col(url_col).alias("page_url"),
+            spans_udf(F.col(html_col)).alias("spans")]
+    if "fetch_ms" in df.columns:
+        cols.append(F.col("fetch_ms").cast("long"))
+    return df.select(*cols)
 
 
 def warc_to_documents(spark, warc_path: str) -> DataFrame:

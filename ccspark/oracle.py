@@ -66,6 +66,7 @@ def extract_links_py(doc: dict, follow_links: bool) -> list[dict]:
             "dom_sib": n_sib,
             "src_doc_id": doc["doc_id"],
             "offset": int(sp["offset"]),
+            "event_ms": doc.get("fetch_ms"),
         })
     return out
 

@@ -42,6 +42,10 @@ CANDIDATE_SCHEMA = T.StructType([
     T.StructField("dom_sib", T.IntegerType()),
     T.StructField("src_doc_id", T.StringType()),
     T.StructField("offset", T.IntegerType()),
+    # event time (epoch ms) of the discovery — fetch time of the source
+    # page; null for seeds / pre-event-time candidate files. Used only by
+    # the streaming watermark path (streaming.discovery_rate).
+    T.StructField("event_ms", T.LongType()),
 ])
 
 FRONTIER_COLS = ["url", "url_hash", "bucket", "host", "host_key", "surt",
@@ -72,6 +76,7 @@ def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
         F.lit(0).alias("dom_sib"),
         F.lit("seed").alias("src_doc_id"),
         F.lit(0).alias("offset"),
+        F.lit(None).cast("long").alias("event_ms"),
     )
 
 

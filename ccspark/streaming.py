@@ -80,14 +80,22 @@ def run_streaming_rounds(engine: CrawlEngine, landing_dir: str,
 
 def discovery_rate(spark: SparkSession, landing_dir: str,
                    window: str = "10 minutes",
-                   watermark: str = "30 minutes") -> DataFrame:
-    """Windowed candidate-arrival rate with late-data handling: the
+                   watermark: str = "30 minutes",
+                   max_files_per_trigger: int = 10) -> DataFrame:
+    """Windowed candidate-discovery rate with late-data handling: the
     streaming metrics twin of the round-loop's frontier-depth series.
-    Candidates carry no event time in the batch schema, so arrival time
-    (current processing time at ingest) stands in — swap for a real
-    event-time column when the extractor provides one."""
-    return (candidate_stream(spark, landing_dir)
-            .withColumn("ts", F.current_timestamp())
+
+    Event time is the candidate's `event_ms` (extract_links carries the
+    source page's fetch time through the candidate schema); rows from
+    pre-event-time producers (nulls) fall back to processing time so they
+    are counted rather than dropped. The watermark bounds state: a window
+    is finalized once the max observed event time passes its end by
+    `watermark`, and later-than-that stragglers are discarded — the
+    documented trade for bounded aggregation state on an unbounded crawl.
+    """
+    return (candidate_stream(spark, landing_dir, max_files_per_trigger)
+            .withColumn("ts", F.coalesce(F.timestamp_millis("event_ms"),
+                                         F.current_timestamp()))
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window), F.col("kind"))
             .agg(F.count(F.lit(1)).alias("candidates")))

@@ -45,6 +45,7 @@ RECORD_SCHEMA = T.StructType([
     T.StructField("record_type", T.StringType()),
     T.StructField("url", T.StringType()),
     T.StructField("mime", T.StringType()),
+    T.StructField("warc_date", T.StringType()),  # WARC-Date, ISO-8601 (event time)
     T.StructField("content", T.BinaryType()),
     T.StructField("corrupt", T.IntegerType()),   # S3-style lenient counter
 ])
@@ -103,12 +104,13 @@ def warc_records(spark: SparkSession, path: str) -> DataFrame:
             for fpath, raw in zip(pdf["path"], pdf["content"]):
                 fname = os.path.basename(fpath)
                 rows = {k: [] for k in ("file", "record_type", "url", "mime",
-                                        "content", "corrupt")}
+                                        "warc_date", "content", "corrupt")}
                 for headers, content, corrupt in _iter_warc_records(bytes(raw)):
                     rows["file"].append(fname)
                     rows["record_type"].append(headers.get("WARC-Type", ""))
                     rows["url"].append(headers.get("WARC-Target-URI", ""))
                     rows["mime"].append(headers.get("Content-Type", ""))
+                    rows["warc_date"].append(headers.get("WARC-Date", ""))
                     rows["content"].append(content)
                     rows["corrupt"].append(corrupt)
                     if len(rows["file"]) >= chunk:
@@ -129,7 +131,10 @@ def warc_html_bodies(records: DataFrame) -> DataFrame:
     """HTTP response records → (url, http_headers, body) for text/html
     responses: the TagCounterMap.java:40-53 pipeline. The split is at the
     FIRST CRLFCRLF (F5); the html gate is the reference's exact substring
-    test on the raw header block."""
+    test on the raw header block. fetch_ms is the record's WARC-Date as
+    epoch millis (null when absent) — the event-time column the
+    HTML→spans ingester carries onto documents and extract_links carries
+    onto candidates (event_ms) for streaming watermarks."""
     s = F.decode(F.col("content"), "UTF-8")
     header = F.substring_index(s, "\r\n\r\n", 1)
     body = F.expr(r"substring(decode(content, 'UTF-8'),"
@@ -139,7 +144,9 @@ def warc_html_bodies(records: DataFrame) -> DataFrame:
             .withColumn("http_headers", header)
             .filter(F.col("http_headers").contains("Content-Type: text/html"))
             .withColumn("body", body)
-            .select("url", "http_headers", "body"))
+            .withColumn("fetch_ms",
+                        F.unix_millis(F.col("warc_date").cast("timestamp")))
+            .select("url", "http_headers", "body", "fetch_ms"))
 
 
 def wet_texts(records: DataFrame) -> DataFrame:
@@ -164,12 +171,14 @@ def wat_servers(records: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _record(wtype: str, uri: str, mime: str, payload: bytes) -> bytes:
+def _record(wtype: str, uri: str, mime: str, payload: bytes,
+            date: str = "2026-01-01T00:00:00Z") -> bytes:
     rid = hashlib.md5(f"{wtype}|{uri}".encode()).hexdigest()
     head = (f"WARC/1.0\r\n"
             f"WARC-Type: {wtype}\r\n"
             f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
             f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: {date}\r\n"
             f"Content-Type: {mime}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n").encode()
     return head + payload + b"\r\n\r\n"
@@ -191,7 +200,7 @@ def write_archive_fixtures(sf_dir: str, out_dir: str) -> dict[str, str]:
     paths = {k: os.path.join(out_dir, f"fixture.{k}.gz")
              for k in ("warc", "wet", "wat", "htmlwarc")}
     manifest = os.path.join(out_dir, "_MANIFEST")
-    stamp = "v2:" + sf_dir
+    stamp = "v3:" + sf_dir
     if os.path.exists(manifest):
         with open(manifest) as fh:
             if (fh.read().strip() == stamp

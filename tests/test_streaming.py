@@ -127,6 +127,116 @@ def test_streaming_restart_restores_frontier_depth(spark, fx_small, tmp_path,
     assert got == want
 
 
+def _candidate_file(path, events, mtime):
+    """One landing parquet file of 'a'-kind candidates with the given
+    (url, event_ms) pairs, mtime-stamped so FileStreamSource processes
+    files in a deterministic order."""
+    import pyarrow as pa
+
+    n = len(events)
+    t = pa.table({
+        "url_raw": pa.array([u for u, _ in events], pa.string()),
+        "page_url": pa.array(["http://s.example.com/"] * n, pa.string()),
+        "kind": pa.array(["a"] * n, pa.string()),
+        "alt": pa.array([""] * n, pa.string()),
+        "parent_txt": pa.array([""] * n, pa.string()),
+        "dom_depth": pa.array([0] * n, pa.int32()),
+        "dom_sib": pa.array([0] * n, pa.int32()),
+        "src_doc_id": pa.array(["d"] * n, pa.string()),
+        "offset": pa.array([0] * n, pa.int32()),
+        "event_ms": pa.array([e for _, e in events], pa.int64()),
+    })
+    pq.write_table(t, str(path))
+    os.utime(str(path), (mtime, mtime))
+
+
+def test_discovery_rate_event_time_late_data(spark, tmp_path):
+    """Deterministic watermark semantics on the event_ms column: a
+    straggler arriving AFTER its window's state was evicted is dropped —
+    the window appends exactly once, with the on-time count only.
+    (A late row for a still-live window may be aggregated; dropping is
+    guaranteed only post-eviction — Spark's documented watermark
+    contract, which is what bounds state on an unbounded crawl.)"""
+    base = 1767261600000  # 2026-01-01T10:00:00Z
+    mins = 60_000
+    d = tmp_path / "landing2"
+    d.mkdir()
+    # file order = watermark evolution, one file per micro-batch:
+    # f0 fills window w0=[10:00,10:10); f1 at 11:00 advances the
+    # watermark to 10:30 (effective next batch); during f2's batch w0 is
+    # finalized+evicted; f3's straggler at 10:05 then hits evicted state
+    _candidate_file(d / "f0.parquet",
+                    [("http://a.example.com/1", base + 0 * mins),
+                     ("http://a.example.com/2", base + 4 * mins),
+                     ("http://a.example.com/3", base + 9 * mins)], 1_000)
+    _candidate_file(d / "f1.parquet",
+                    [("http://a.example.com/4", base + 60 * mins)], 2_000)
+    _candidate_file(d / "f2.parquet",
+                    [("http://a.example.com/5", base + 65 * mins)], 3_000)
+    _candidate_file(d / "f3.parquet",
+                    [("http://a.example.com/late", base + 5 * mins)], 4_000)
+
+    from ccspark.streaming import discovery_rate
+    q = (discovery_rate(spark, str(d), window="10 minutes",
+                        watermark="30 minutes", max_files_per_trigger=1)
+         .writeStream.format("memory").queryName("disc_et")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "c3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # the straggler was counted as dropped-by-watermark in its batch
+    dropped = sum(s.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for s in p.get("stateOperators", []))
+    assert dropped == 1
+    rows = spark.sql("select * from disc_et").collect()
+    # w0 appended exactly once with the 3 on-time rows; the 11:00-11:10
+    # window is still open (watermark 10:35 < 11:10) so nothing else
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.candidates == 3 and r.kind == "a"
+    assert int(r.window.start.timestamp() * 1000) == base
+
+
+def test_extract_links_carries_event_time(spark):
+    """fetch_ms on documents (WARC-Date epoch ms from the ingest) rides
+    through extract_links as the candidates' event_ms; docs without the
+    column yield nulls."""
+    from ccspark.extract import extract_links
+
+    spans = [{"kind": "img", "text": "x", "media_ref":
+              "http://m.example.com/a.jpg", "offset": 0}]
+    with_ms = spark.createDataFrame(
+        [("d1", "http://h.example.com/", spans, 1767261600123)],
+        "doc_id string, page_url string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>, fetch_ms long")
+    assert [r.event_ms for r in extract_links(with_ms).collect()] \
+        == [1767261600123]
+    without = with_ms.drop("fetch_ms")
+    assert [r.event_ms for r in extract_links(without).collect()] == [None]
+
+
+def test_warc_ingest_stamps_fetch_ms(spark, tmp_path):
+    """warc_html_bodies converts WARC-Date to epoch ms, and the
+    HTML→spans front door lands it on the documents table."""
+    import gzip as _gz
+
+    from ccspark.htmlspans import warc_to_documents
+    from ccspark.warc import _record
+
+    rec = _record("response", "http://h.example.com/p.html",
+                  "application/http; msgtype=response",
+                  b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                  b"<html><body><p>hi</p></body></html>",
+                  date="2026-01-01T10:00:00Z")
+    p = tmp_path / "one.warc.gz"
+    p.write_bytes(_gz.compress(rec))
+    docs = warc_to_documents(spark, str(p))
+    row = docs.collect()[0]
+    assert row.fetch_ms == 1767261600000
+    assert row.doc_id == "http://h.example.com/p.html"
+
+
 def test_discovery_rate_stream_runs(spark, landing, tmp_path):
     out = (discovery_rate(spark, landing)
            .writeStream.format("memory").queryName("disc")
