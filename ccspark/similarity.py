@@ -436,6 +436,249 @@ SQL_CLASSIFIER_EVAL = (
     " FROM m")
 
 
+# ---------------------------------------------------------------------------
+# IVFPQ: the reference's actual index is IVF + product quantization
+# (IndexingManage.java:68-80: 8192 coarse centroids, 64-dim, 8-bit PQ
+# codes); this is the fixture-scale analog — coarse = the k-means IVF
+# above (N_CELLS cells, NPROBE probes), fine = PQ_M=8 subspaces × PQ_K=16
+# codes over UNIT-NORMALIZED vectors (so squared-L2 ADC ordering tracks
+# cosine: ||a-b||² = 2-2cos on unit vectors). Non-residual PQ variant
+# (codes quantize the raw normalized vector, not the coarse residual),
+# documented as such. Determinism recipe shared with the IVF trainer:
+# init = subvectors of the first PQ_K vectors, Lloyd assignment by
+# 6-rounded distance with ties → smaller code, means folded in vec_id
+# order — bit-equal codebooks across engines. ADC distances are summed as
+# integer micro-units (round(d2,6)*1e6 per subspace, BIGINT sum), so the
+# 8-way sum is exact and engine-order-independent.
+#
+# Scale story: codebooks are PQ_M*PQ_K tiny rows (broadcast dim); codes
+# are 8 small ints per doc — the compression that removes the
+# uncompressed-candidate-vector memory wall at 100 TB; the ADC join keys
+# on (query, m, code) against a broadcast LUT, candidates stay
+# cell-partitioned from the IVF probe. Only the LUT uses raw query
+# vectors.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_K = 16
+PQ_ITERS = 2
+
+_D2 = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+       " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def _subvectors(spark, sf_dir) -> DataFrame:
+    """(vec_id, m, sv): the m-th PQ_DSUB-wide slice of the unit-normalized
+    embedding, one row per (vector, subspace)."""
+    e = _with_norm(emb(spark, sf_dir))
+    ms = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m,"
+        f" slice(nv, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS sv))")
+    return (e.withColumn("nv", F.expr("transform(v, x -> x / norm)"))
+            .select("vec_id", F.explode(ms).alias("s"))
+            .select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")))
+
+
+def _pq_codebooks(spark, sf_dir) -> DataFrame:
+    """(m, code, cv): PQ_K centroids per subspace, all PQ_M subspaces
+    trained in ONE k-means keyed by m (the subspace id is just another
+    grouping column — no per-subspace jobs)."""
+    sub = _subvectors(spark, sf_dir)
+    cb = (sub.filter(F.col("vec_id") < PQ_K)
+          .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")))
+    mean_expr = (
+        f"transform(aggregate(arr, array_repeat(CAST(0.0 AS DOUBLE), {PQ_DSUB}),"
+        " (acc, e) -> zip_with(acc, e.sv, (a, b) -> a + b)), x -> x / n)")
+    for _ in range(PQ_ITERS):
+        pd = F.round(F.expr(_D2.format(a="sv", b="cv")), 6)
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("pd").asc(), F.col("code").asc())
+        assign = (sub.join(F.broadcast(cb), "m")
+                  .withColumn("pd", pd)
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("vec_id", "m", "code", "sv"))
+        means = (assign.groupBy("m", "code")
+                 .agg(F.sort_array(F.collect_list(F.struct("vec_id", "sv")))
+                      .alias("arr"),
+                      F.count(F.lit(1)).alias("n"))
+                 .select("m", "code", F.expr(mean_expr).alias("ncv")))
+        cb = (cb.join(means, ["m", "code"], "left")
+              .select("m", "code", F.coalesce("ncv", "cv").alias("cv")))
+    return cb
+
+
+def _pq_codes(spark, sf_dir) -> DataFrame:
+    """(vec_id, m, code): nearest trained codeword per subspace — the
+    8-small-ints-per-doc compressed representation."""
+    sub = _subvectors(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)
+    pd = F.round(F.expr(_D2.format(a="sv", b="cv")), 6)
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("pd").asc(), F.col("code").asc())
+    return (sub.join(F.broadcast(cb), "m")
+            .withColumn("pd", pd)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "code"))
+
+
+def q_ann_ivfpq_codes(spark, sf_dir):
+    return (_pq_codes(spark, sf_dir)
+            .select("vec_id", F.col("m").cast("bigint").alias("m"),
+                    F.col("code").cast("bigint").alias("code")))
+
+
+# integer micro-units: round kills the last-ulp noise, the outer round
+# (not a bare cast — Spark truncates, DuckDB rounds) makes the BIGINT
+# conversion identical in both engines
+_MICRO = 1_000_000
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVFPQ search: IVF-probe candidate generation (cell join) + ADC
+    scoring — per-query lookup table of exact-query-subvector→codeword
+    distances, candidate score = BIGINT sum of its 8 code lookups."""
+    cells = _cells(spark, sf_dir)
+    assign = cells.filter(F.col("crank") == 1).select("vec_id", "cell")
+    probes = (cells.filter(F.col("crank") <= NPROBE)
+              .filter(F.col("vec_id") < N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"), "cell"))
+    codes = _pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "cand_id")
+    qsub = (_subvectors(spark, sf_dir)
+            .filter(F.col("vec_id") < N_QUERIES)
+            .withColumnRenamed("vec_id", "query_id"))
+    pd_u = F.round(F.round(F.expr(_D2.format(a="sv", b="cv")), 6)
+                   * F.lit(float(_MICRO)), 0).cast("bigint")
+    lut = (qsub.join(F.broadcast(_pq_codebooks(spark, sf_dir)), "m")
+           .select("query_id", "m", "code", pd_u.alias("pd_u")))
+    pairs = (probes
+             .join(assign.withColumnRenamed("vec_id", "cand_id"), "cell")
+             .filter(F.col("query_id") != F.col("cand_id"))
+             .select("query_id", "cand_id")
+             .dropDuplicates(["query_id", "cand_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_u").asc(), F.col("cand_id").asc())
+    return (pairs.join(codes, "cand_id")
+            .join(lut, ["query_id", "m", "code"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("pd_u").alias("adist_u"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    F.round(F.col("adist_u") / F.lit(float(_MICRO)), 6)
+                    .alias("adist"),
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def _duck_d2(a: str, b: str, dim: int) -> str:
+    # left fold starting at x1 ≡ Spark's 0.0-seeded fold (0.0 + x1 == x1)
+    return (f"list_reduce(list_transform(generate_series(1, {dim}),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])),"
+            " (acc, x) -> acc + x)")
+
+
+def _duck_pq_ctes() -> str:
+    """nsub (subvectors) + the PQ Lloyd chain pb0 → … → pb{PQ_ITERS} +
+    pqcodes, mirroring _pq_codebooks/_pq_codes op-for-op."""
+    parts = [
+        "nv_t AS (SELECT vec_id, list_transform(v, x -> x / norm) AS nv"
+        " FROM e)",
+        f"nsub AS (SELECT vec_id, g.m,"
+        f" nv[(g.m * {PQ_DSUB} + 1):(g.m * {PQ_DSUB} + {PQ_DSUB})] AS sv"
+        f" FROM nv_t, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) g)",
+        f"pb0 AS (SELECT m, vec_id AS code, sv AS cv FROM nsub"
+        f" WHERE vec_id < {PQ_K})",
+    ]
+    d2 = _duck_d2("s.sv", "c.cv", PQ_DSUB)
+    for it in range(1, PQ_ITERS + 1):
+        prev = f"pb{it - 1}"
+        parts.append(
+            f"pa{it} AS (SELECT vec_id, m, code, sv FROM ("
+            " SELECT s.vec_id, s.m, c.code, s.sv, row_number() OVER ("
+            "  PARTITION BY s.vec_id, s.m ORDER BY"
+            f"  round({d2}, 6) ASC, c.code ASC) AS rn"
+            f" FROM nsub s JOIN {prev} c USING (m)) WHERE rn = 1)")
+        parts.append(
+            f"pg{it} AS (SELECT m, code, CAST(count(*) AS BIGINT) AS n,"
+            f" list(sv ORDER BY vec_id) AS arr FROM pa{it} GROUP BY m, code)")
+        parts.append(
+            f"pm{it} AS (SELECT m, code, list_transform(list_reduce(arr,"
+            " (acc, x) -> list_transform(generate_series(1, len(acc)),"
+            " i -> acc[i] + x[i])),"
+            f" s -> s / n) AS ncv FROM pg{it})")
+        parts.append(
+            f"pb{it} AS (SELECT p.m, p.code, coalesce(q.ncv, p.cv) AS cv"
+            f" FROM {prev} p LEFT JOIN pm{it} q USING (m, code))")
+    parts.append(
+        "pqcodes AS (SELECT vec_id, m, code FROM ("
+        " SELECT s.vec_id, s.m, c.code, row_number() OVER ("
+        "  PARTITION BY s.vec_id, s.m ORDER BY"
+        f"  round({d2}, 6) ASC, c.code ASC) AS rn"
+        f" FROM nsub s JOIN pb{PQ_ITERS} c USING (m)) WHERE rn = 1)")
+    return ", ".join(parts)
+
+
+SQL_ANN_IVFPQ_CODES = (
+    "WITH e AS (" + _DUCK_NORM + "), " + _duck_pq_ctes() +
+    " SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code"
+    " FROM pqcodes")
+
+
+SQL_ANN_IVFPQ_TOPK = (
+    "WITH " + _duck_centroid_ctes() + ","
+    " cells AS (" + _DUCK_CELLS_BODY + "),"
+    " assign AS (SELECT vec_id, cell FROM cells WHERE crank = 1),"
+    f" probes AS (SELECT vec_id AS query_id, cell FROM cells"
+    f"   WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),"
+    " " + _duck_pq_ctes() + ","
+    f" qsub AS (SELECT vec_id AS query_id, m, sv FROM nsub"
+    f"   WHERE vec_id < {N_QUERIES}),"
+    " lut AS (SELECT q.query_id, q.m, c.code,"
+    f"   CAST(round(round({_duck_d2('q.sv', 'c.cv', PQ_DSUB)}, 6)"
+    f"     * {_MICRO}, 0) AS BIGINT) AS pd_u"
+    f"   FROM qsub q JOIN pb{PQ_ITERS} c USING (m)),"
+    " pairs AS (SELECT DISTINCT p.query_id, a.vec_id AS cand_id"
+    "   FROM probes p JOIN assign a USING (cell)"
+    "   WHERE p.query_id <> a.vec_id),"
+    " scored AS (SELECT pr.query_id, pr.cand_id,"
+    "   CAST(sum(l.pd_u) AS BIGINT) AS adist_u"
+    "   FROM pairs pr"
+    "   JOIN pqcodes k ON k.vec_id = pr.cand_id"
+    "   JOIN lut l ON l.query_id = pr.query_id AND l.m = k.m"
+    "     AND l.code = k.code"
+    "   GROUP BY pr.query_id, pr.cand_id)"
+    " SELECT query_id, cand_id,"
+    f"  round(adist_u / {_MICRO}.0, 6) AS adist,"
+    "  CAST(rank AS BIGINT) AS rank FROM ("
+    "   SELECT *, row_number() OVER (PARTITION BY query_id"
+    "     ORDER BY adist_u ASC, cand_id ASC) AS rank FROM scored)"
+    f" WHERE rank <= {TOP_K}")
+
+
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """recall@k of IVFPQ ADC search vs exact brute-force cosine top-k —
+    the end-to-end index-quality metric (coarse quantizer + PQ loss)."""
+    bf = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    pq_ = q_ann_ivfpq_topk(spark, sf_dir).select("query_id", "cand_id")
+    hit = bf.join(pq_, ["query_id", "cand_id"], "left_semi")
+    return (hit.agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(bf.agg(F.count(F.lit(1)).alias("total")))
+            .select("hits", "total",
+                    F.round(F.col("hits") / F.col("total"), 6).alias("recall")))
+
+
+SQL_ANN_IVFPQ_RECALL = (
+    "WITH bf AS (" + SQL_ANN_BRUTEFORCE_TOPK + "),"
+    " pq AS (" + SQL_ANN_IVFPQ_TOPK + "),"
+    " h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM bf WHERE EXISTS ("
+    "   SELECT 1 FROM pq WHERE pq.query_id = bf.query_id"
+    "   AND pq.cand_id = bf.cand_id)),"
+    " t2 AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bf)"
+    " SELECT hits, total, round(hits / total, 6) AS recall FROM h, t2")
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """recall@k of the IVF probe search vs the exact brute-force top-k —
     the quantizer-quality metric (single row: hits, total, recall)."""
@@ -466,5 +709,8 @@ REG: dict[str, tuple] = {
     "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
+    "ann_ivfpq_codes": (q_ann_ivfpq_codes, SQL_ANN_IVFPQ_CODES),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
+    "ann_ivfpq_recall": (q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
     "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
 }
