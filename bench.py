@@ -99,22 +99,25 @@ def phase_pipeline(cores: int) -> None:
     print(json.dumps({"t": min(runs), "runs": runs, "scheduled": scheduled}))
 
 
-def phase_serve(cores: int) -> None:
-    """Long-lived pinned session: reads a URL count per stdin line, runs
-    the pipeline, answers 'T <sec> <scheduled>'. Used by main() to
-    interleave base/full runs at ~2-minute granularity in ONE pair of
-    JVMs — the matched-window protocol (see main)."""
-    os.sched_setaffinity(0, set(range(cores)))
+def phase_serve(coreset: list[int]) -> None:
+    """Long-lived pinned session: reads '<urls> [<start>]' per stdin
+    line, runs the pipeline over that id range, answers
+    'T <sec> <scheduled>'. Used by main() to interleave base/full runs
+    at ~2-minute granularity in ONE pair of JVMs (matched-window
+    protocol), and by the multi-JVM control with explicit disjoint core
+    sets and disjoint workload halves."""
+    os.sched_setaffinity(0, set(coreset))
     from ccspark.benchflow import schedule_pipeline
-    spark = _session(cores, pipeline=True)
+    spark = _session(len(coreset), pipeline=True)
     schedule_pipeline(spark, N_URLS // 20)   # JIT/codegen + worker warmup
     print("READY", flush=True)
     for line in sys.stdin:
-        cmd = line.strip()
-        if not cmd or cmd == "EXIT":
+        parts = line.split()
+        if not parts or parts[0] == "EXIT":
             break
+        n, start = int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
         t0 = time.perf_counter()
-        scheduled = schedule_pipeline(spark, int(cmd))
+        scheduled = schedule_pipeline(spark, n, start=start)
         print(f"T {time.perf_counter() - t0:.3f} {scheduled}", flush=True)
 
 
@@ -176,20 +179,34 @@ def phase_jobs() -> None:
 
 
 def phase_queries() -> None:
+    """Min-of-QREPS INTERLEAVED passes per headline query (q1..qn,
+    q1..qn, ...): single samples on a host that degrades 3-7x for
+    minutes at a time are uninterpretable (the r2 record showed the
+    same crawl query at 19.6 s and 71.1 s hours apart); interleaving
+    spreads any degraded window across all queries instead of
+    concentrating it on whichever query it landed on, and the min is
+    the robust capability estimator. Every run is recorded."""
+    qreps = int(os.environ.get("CCSPARK_QUERY_REPS", "3"))
     from ccspark.fixtures import fixture_for_sf
     from ccspark.registry import ALL
-    fixture_for_sf(SF_DIR)   # one-time fixture generation outside the timings
+    from ccspark.warc import _fixture_paths
+    fixture_for_sf(SF_DIR)    # fixture generation outside the timings
+    _fixture_paths(SF_DIR)    # archive fixtures too (ingest queries)
     spark = _session(CPUS)
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _ = ALL[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        out[name] = round(time.perf_counter() - t0, 3)
-    # quantizer quality: recall@k of IVF probe search vs exact top-k
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(qreps):
+        for name in HEADLINE:
+            fn, _ = ALL[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    out = {name: min(rs) for name, rs in runs.items()}
+    # quantizer quality: recall@k vs exact top-k (IVF probe; IVFPQ ADC)
     rec = ALL["ann_ivf_recall"][0](spark, SF_DIR).collect()[0]
-    out["_ivf_recall"] = rec.recall
-    print(json.dumps(out))
+    pqrec = ALL["ann_ivfpq_recall"][0](spark, SF_DIR).collect()[0]
+    print(json.dumps({"queries": out, "runs": runs,
+                      "_ivf_recall": rec.recall,
+                      "_ivfpq_recall": pqrec.recall}))
 
 
 def _sub(*args: str) -> dict:
@@ -199,23 +216,37 @@ def _sub(*args: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def _spawn_server(cores: int) -> subprocess.Popen:
-    p = subprocess.Popen(
+def _start_server(coreset: list[int]) -> subprocess.Popen:
+    return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
-         "--phase", "serve", "--cores", str(cores)],
+         "--phase", "serve", "--coreset",
+         ",".join(str(c) for c in coreset)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, env=os.environ)
+
+
+def _wait_ready(p: subprocess.Popen) -> subprocess.Popen:
     while True:
         line = p.stdout.readline()
         if not line:
-            raise RuntimeError(f"serve[{cores}] died before READY")
+            raise RuntimeError("serve process died before READY")
         if line.strip() == "READY":
             return p
 
 
-def _server_run(p: subprocess.Popen, n: int) -> tuple[float, int]:
-    p.stdin.write(f"{n}\n")
+def _spawn_servers(*coresets: list[int]) -> list[subprocess.Popen]:
+    """Start all servers first, then wait for READY: session startup +
+    (untimed) warmup overlap instead of serializing ~1 min per JVM."""
+    procs = [_start_server(cs) for cs in coresets]
+    return [_wait_ready(p) for p in procs]
+
+
+def _server_send(p: subprocess.Popen, n: int, start: int = 0) -> None:
+    p.stdin.write(f"{n} {start}\n")
     p.stdin.flush()
+
+
+def _server_recv(p: subprocess.Popen) -> tuple[float, int]:
     while True:
         line = p.stdout.readline()
         if not line:
@@ -223,6 +254,60 @@ def _server_run(p: subprocess.Popen, n: int) -> tuple[float, int]:
         parts = line.split()
         if parts and parts[0] == "T":
             return float(parts[1]), int(parts[2])
+
+
+def _server_run(p: subprocess.Popen, n: int, start: int = 0) -> tuple[float, int]:
+    _server_send(p, n, start)
+    return _server_recv(p)
+
+
+def _close_servers(*procs: subprocess.Popen) -> None:
+    for p in procs:
+        try:
+            p.stdin.write("EXIT\n")
+            p.stdin.flush()
+        except Exception:
+            pass
+        p.terminate()
+
+
+def phase_multijvm() -> None:
+    """Multi-JVM scale-out control: two concurrent pinned (T/2)-core
+    JVMs over DISJOINT halves of the workload vs one pinned T-core JVM
+    over the whole of it — same total cores, same total work. This
+    measures the claim the single-JVM ladder only argues: that the
+    per-core falloff above ~8 cores is the one shared shuffle/socket/
+    Python-worker pool of a single local-mode JVM, which a real cluster
+    (one JVM per executor) does not share. dual≈single at T=8 (inside
+    the JVM's linear regime) and dual>single at T=16 (past it) is the
+    signature that scale-out escapes the ceiling. Runs are interleaved
+    single,dual per rep; min per config."""
+    reps = int(os.environ.get("CCSPARK_MULTIJVM_REPS", "2"))
+    out = {}
+    for total in dict.fromkeys((FULL_CORES, 2 * FULL_CORES)):
+        if total > CPUS or total < 2:
+            continue
+        half = total // 2
+        single, dual_a, dual_b = _spawn_servers(
+            list(range(total)), list(range(half)), list(range(half, total)))
+        singles, duals = [], []
+        try:
+            for _ in range(reps):
+                t_s, _n = _server_run(single, N_URLS)
+                singles.append(round(t_s, 2))
+                t0 = time.perf_counter()
+                _server_send(dual_a, N_URLS // 2, 0)
+                _server_send(dual_b, N_URLS // 2, N_URLS // 2)
+                _server_recv(dual_a)
+                _server_recv(dual_b)
+                duals.append(round(time.perf_counter() - t0, 2))
+        finally:
+            _close_servers(single, dual_a, dual_b)
+        out[str(total)] = {
+            "single_jvm_s": min(singles), "dual_jvm_s": min(duals),
+            "singles": singles, "duals": duals,
+            "dual_over_single": round(min(singles) / min(duals), 3)}
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -237,8 +322,8 @@ def main() -> None:
     # classic estimator but can pair a lucky base window with an hour
     # that never gave the full level a clean window.
     pairs, scheduled = [], None
-    base_srv = _spawn_server(BASE_CORES)
-    full_srv = _spawn_server(FULL_CORES)
+    base_srv, full_srv = _spawn_servers(
+        list(range(BASE_CORES)), list(range(FULL_CORES)))
     try:
         for _ in range(2 * ROUNDS):
             tb, sb = _server_run(base_srv, N_URLS)
@@ -247,25 +332,30 @@ def main() -> None:
             scheduled = sb
             pairs.append((tb, tf))
     finally:
-        for p in (base_srv, full_srv):
-            try:
-                p.stdin.write("EXIT\n")
-                p.stdin.flush()
-            except Exception:
-                pass
-            p.terminate()
+        _close_servers(base_srv, full_srv)
     base_ts = [b for b, _ in pairs]
     full_ts = [f for _, f in pairs]
+    ratio = FULL_CORES / BASE_CORES
     best_b, best_f = min(pairs, key=lambda bf: bf[0] + 4 * bf[1])
     base_t, full_t = best_b, best_f
     tp_base = N_URLS / base_t
     tp_full = N_URLS / full_t
-    eff = tp_full / ((FULL_CORES / BASE_CORES) * tp_base)
-    eff_minmin = (min(base_ts) / min(full_ts)) / (FULL_CORES / BASE_CORES)
+    eff = tp_full / (ratio * tp_base)
+    eff_minmin = (min(base_ts) / min(full_ts)) / ratio
+    # median of per-pair ratios: immune to the pair-selection bias that
+    # lets the b+4f estimator pick a lucky-full/degraded-base pair and
+    # report >1 (r2: 1.078) — the headline is min(matched-pair, median).
+    per_pair = sorted((b / f) / ratio for b, f in pairs)
+    mid = len(per_pair) // 2
+    eff_median = (per_pair[mid] if len(per_pair) % 2
+                  else (per_pair[mid - 1] + per_pair[mid]) / 2)
+    multijvm = _sub("--phase", "multijvm")
     cpu_ctl = _sub("--phase", "cpu_control")
     jobs = _sub("--phase", "jobs")
-    queries = _sub("--phase", "queries")
-    ivf_recall = queries.pop("_ivf_recall", None)
+    qres = _sub("--phase", "queries")
+    queries, query_runs = qres["queries"], qres["runs"]
+    ivf_recall = qres.get("_ivf_recall")
+    ivfpq_recall = qres.get("_ivfpq_recall")
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     result = {
@@ -279,12 +369,17 @@ def main() -> None:
         "urls_per_sec_full": round(tp_full, 1),
         "base_cores": BASE_CORES,
         "full_cores": FULL_CORES,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(min(eff, eff_median), 3),
+        "scaling_efficiency_matched_pair": round(eff, 3),
+        "scaling_efficiency_median_pairs": round(eff_median, 3),
         "scaling_efficiency_minmin": round(eff_minmin, 3),
         "pair_times": [[round(b, 1), round(f, 1)] for b, f in pairs],
+        "multijvm": multijvm,
         "cpu_control_mops": cpu_ctl,
         "jobs_per_round": jobs["jobs_per_round"],
+        "query_runs": query_runs,
         "ivf_recall_at_k": ivf_recall,
+        "ivfpq_recall_at_k": ivfpq_recall,
     }
     _write_bench_md(result, base_t, base_ts, full_ts)
     print(json.dumps(result))
@@ -330,9 +425,31 @@ def _write_bench_md(r: dict, t_base: float,
         f"{[round(t,1) for t in full_ts]} | {r['urls_per_sec_full']:,.0f} |",
         "",
         f"**Scaling efficiency (N→4N): {r['scaling_efficiency']:.3f}** "
-        "(target ≥ 0.8, north_rule; matched-window pair estimator). "
-        f"Unpaired min/min across all runs: "
-        f"{r['scaling_efficiency_minmin']:.3f}.",
+        "(target ≥ 0.8, north_rule; headline = min(matched-pair, "
+        "median-of-pair-ratios) so pair selection can never report >1). "
+        f"Estimators: matched-pair {r['scaling_efficiency_matched_pair']:.3f}, "
+        f"median of per-pair ratios {r['scaling_efficiency_median_pairs']:.3f}, "
+        f"unpaired min/min {r['scaling_efficiency_minmin']:.3f}.",
+        "",
+        "## Multi-JVM scale-out control (measured, not argued)",
+        "",
+        "Two concurrent pinned (T/2)-core JVMs over disjoint halves of "
+        "the same workload vs one pinned T-core JVM over all of it — "
+        "same total cores, same total work, interleaved runs, min per "
+        "config. >1 means two half-size JVMs finish the work FASTER "
+        "than one JVM with the same cores — i.e. the per-core falloff "
+        "above ~8 cores is the single local-mode JVM's shared shuffle/"
+        "socket/worker plumbing, which scale-out (one JVM per executor, "
+        "as on a real cluster) escapes:",
+        "",
+        "| total cores | 1 JVM wall s | 2 JVMs wall s | 2-JVM speedup |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {total} | {v['single_jvm_s']} (runs {v['singles']}) | "
+        f"{v['dual_jvm_s']} (runs {v['duals']}) | "
+        f"{v['dual_over_single']:.3f} |"
+        for total, v in sorted(r["multijvm"].items(), key=lambda kv: int(kv[0]))
+    ] + [
         "",
         "## Why the N=2→8 pairing (controls)",
         "",
@@ -371,16 +488,25 @@ def _write_bench_md(r: dict, t_base: float,
         "on the same rounds cost [27, 38, 38] jobs, which is why the "
         "round loop pins its partitioning and leaves AQE off.",
         "",
-        f"ANN-IVF recall@{5} vs exact brute-force top-k at sf{r['sf']}: "
-        f"**{r['ivf_recall_at_k']}** (deterministic 3-iteration spherical "
-        "k-means coarse quantizer, NPROBE=2 of 16 cells).",
+        f"ANN recall@{5} vs exact brute-force top-k at sf{r['sf']}: "
+        f"IVF probe **{r['ivf_recall_at_k']}** (deterministic "
+        "3-iteration spherical k-means coarse quantizer, NPROBE=2 of 16 "
+        f"cells); IVFPQ ADC **{r['ivfpq_recall_at_k']}** (same coarse "
+        "path + 8×16-code product quantization, 32 bits/vector — the "
+        "recall cost of the compression that removes the raw-vector "
+        "memory wall at 100 TB; re-rank candidates with exact vectors "
+        "to recover IVF-level recall when memory allows).",
         "",
-        f"Headline query wall-times at sf{r['sf']} on local[{CPUS}]:",
+        f"Headline query wall-times at sf{r['sf']} on local[{CPUS}] "
+        "(min of interleaved passes; all runs listed — single samples "
+        "on this host are uninterpretable, see r2's 19.6 s vs 71.1 s "
+        "crawl record):",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "| query | min sec | runs |",
+        "|---|---|---|",
     ]
-    lines += [f"| {k} | {v} |" for k, v in r["queries"].items()]
+    lines += [f"| {k} | {v} | {r['query_runs'][k]} |"
+              for k, v in r["queries"].items()]
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.md"), "w") as fh:
@@ -397,9 +523,12 @@ if __name__ == "__main__":
         elif phase == "cpu_control":
             phase_cpu_control()
         elif phase == "serve":
-            phase_serve(int(sys.argv[sys.argv.index("--cores") + 1]))
+            phase_serve([int(c) for c in
+                         sys.argv[sys.argv.index("--coreset") + 1].split(",")])
         elif phase == "jobs":
             phase_jobs()
+        elif phase == "multijvm":
+            phase_multijvm()
         else:
             raise SystemExit(f"unknown phase {phase}")
     else:

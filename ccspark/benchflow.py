@@ -24,18 +24,21 @@ from .scheduler import batch_dedup, canonicalize
 from .seen import with_bucket
 
 
-def synthetic_candidates(spark: SparkSession, n: int, n_hosts: int = 10_000) -> DataFrame:
+def synthetic_candidates(spark: SparkSession, n: int, n_hosts: int = 10_000,
+                         start: int = 0) -> DataFrame:
     """n deterministic candidate URLs with zipf-ish host skew.
 
     host_rank = h % (1 + h' % n_hosts) biases mass toward low ranks
     (rank 0 gets ~ln(n_hosts)/n_hosts of all rows — a hot head), and
     ~8% of rows are relative URLs so the normalize kernel's
     reconstruction branch is exercised, not just the absolute fast path.
+    `start` offsets the id range so two workers can take DISJOINT halves
+    of one workload (the multi-JVM scale-out control in bench.py).
     """
     h1 = F.xxhash64(F.col("id"))
     h2 = F.xxhash64(F.col("id"), F.lit(1))
     host_rank = F.pmod(h1, F.lit(1) + F.pmod(h2, F.lit(n_hosts)))
-    df = (spark.range(n)
+    df = (spark.range(start, start + n)
           .withColumn("host_rank", host_rank)
           .withColumn("page_url",
                       F.concat(F.lit("http://h"), F.col("host_rank"),
@@ -63,12 +66,13 @@ def synthetic_candidates(spark: SparkSession, n: int, n_hosts: int = 10_000) -> 
 
 
 def schedule_pipeline(spark: SparkSession, n: int,
-                      params: CrawlParams = CrawlParams()) -> int:
+                      params: CrawlParams = CrawlParams(),
+                      start: int = 0) -> int:
     """One full scheduling round's compute over n synthetic candidates;
     returns URLs scheduled. Empty robots cache → default crawl delay."""
     robots = spark.createDataFrame(
         [], "host string, crawl_delay double, disallow array<string>")
-    cand = synthetic_candidates(spark, n)
+    cand = synthetic_candidates(spark, n, start=start)
     canon = canonicalize(cand, round_no=0)
     deduped = with_bucket(batch_dedup(canon), partitions=params.seen_partitions)
     sched = schedule_frontier(deduped, robots, params)
