@@ -204,9 +204,11 @@ def phase_queries() -> None:
     # quantizer quality: recall@k vs exact top-k (IVF probe; IVFPQ ADC)
     rec = ALL["ann_ivf_recall"][0](spark, SF_DIR).collect()[0]
     pqrec = ALL["ann_ivfpq_recall"][0](spark, SF_DIR).collect()[0]
+    rrrec = ALL["ann_ivfpq_rerank_recall"][0](spark, SF_DIR).collect()[0]
     print(json.dumps({"queries": out, "runs": runs,
                       "_ivf_recall": rec.recall,
-                      "_ivfpq_recall": pqrec.recall}))
+                      "_ivfpq_recall": pqrec.recall,
+                      "_ivfpq_rerank_recall": rrrec.recall}))
 
 
 def _sub(*args: str) -> dict:
@@ -356,6 +358,7 @@ def main() -> None:
     queries, query_runs = qres["queries"], qres["runs"]
     ivf_recall = qres.get("_ivf_recall")
     ivfpq_recall = qres.get("_ivfpq_recall")
+    ivfpq_rr_recall = qres.get("_ivfpq_rerank_recall")
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     result = {
@@ -380,6 +383,7 @@ def main() -> None:
         "query_runs": query_runs,
         "ivf_recall_at_k": ivf_recall,
         "ivfpq_recall_at_k": ivfpq_recall,
+        "ivfpq_rerank_recall_at_k": ivfpq_rr_recall,
     }
     _write_bench_md(result, base_t, base_ts, full_ts)
     print(json.dumps(result))
@@ -494,8 +498,11 @@ def _write_bench_md(r: dict, t_base: float,
         f"cells); IVFPQ ADC **{r['ivfpq_recall_at_k']}** (same coarse "
         "path + 8×16-code product quantization, 32 bits/vector — the "
         "recall cost of the compression that removes the raw-vector "
-        "memory wall at 100 TB; re-rank candidates with exact vectors "
-        "to recover IVF-level recall when memory allows).",
+        "memory wall at 100 TB); IVFPQ + exact re-rank "
+        f"**{r['ivfpq_rerank_recall_at_k']}** (ADC shortlist of 8k "
+        "candidates, raw vectors touched only for those rows — recovers "
+        "the IVF probe-coverage ceiling at PQ memory cost, the standard "
+        "serving pattern).",
         "",
         f"Headline query wall-times at sf{r['sf']} on local[{CPUS}] "
         "(min of interleaved passes; all runs listed — single samples "

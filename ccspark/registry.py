@@ -123,8 +123,9 @@ _MERGED.update(CRAWL_REG)
 # oracle-backed entry (gated or not) against its DuckDB twin on every
 # pytest run. Demoted past the cap: pipeline INTERMEDIATES whose final
 # stage is gated (minhash_signatures ⊂ dedup_minhash_lsh, ann_lsh_buckets
-# ⊂ ann_lsh_topk, ann_ivf_cells ⊂ ann_ivf_topk, ann_ivfpq_codes ⊂
-# ann_ivfpq_topk, simhash_clusters ⊂ simhash_hamming_pairs,
+# ⊂ ann_lsh_topk, ann_ivf_cells ⊂ ann_ivf_topk, ann_ivfpq_codes /
+# ann_ivfpq_topk ⊂ ann_ivfpq_rerank_topk (same ADC core, wider
+# shortlist, + the exact re-rank), simhash_clusters ⊂ simhash_hamming_pairs,
 # media_frame_sample — same mapInPandas plumbing as the gated
 # media_decode) and the four rows-only crawl queries (no DuckDB twin by
 # design; pinned by the pure-Python oracle tests).
@@ -143,7 +144,7 @@ GATE_ORDER = [
     "token_count", "doc_fingerprint", "char_ngrams", "media_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
     "wat_ingest_server_count", "html_to_spans",
-    "ann_ivfpq_topk", "ann_ivfpq_recall",
+    "ann_ivfpq_rerank_topk", "ann_ivfpq_recall",
 ]
 
 _DRIVER_GATE_CAP = 50

@@ -536,10 +536,11 @@ def q_ann_ivfpq_codes(spark, sf_dir):
 _MICRO = 1_000_000
 
 
-def q_ann_ivfpq_topk(spark, sf_dir):
-    """IVFPQ search: IVF-probe candidate generation (cell join) + ADC
-    scoring — per-query lookup table of exact-query-subvector→codeword
-    distances, candidate score = BIGINT sum of its 8 code lookups."""
+def _ivfpq_adc(spark, sf_dir, topn: int) -> DataFrame:
+    """IVFPQ search core: IVF-probe candidate generation (cell join) +
+    ADC scoring — per-query lookup table of exact-query-subvector→
+    codeword distances, candidate score = BIGINT sum of its 8 code
+    lookups; top-`topn` per query by (adist_u, cand_id)."""
     cells = _cells(spark, sf_dir)
     assign = cells.filter(F.col("crank") == 1).select("vec_id", "cell")
     probes = (cells.filter(F.col("crank") <= NPROBE)
@@ -565,11 +566,69 @@ def q_ann_ivfpq_topk(spark, sf_dir):
             .groupBy("query_id", "cand_id")
             .agg(F.sum("pd_u").alias("adist_u"))
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
+            .filter(F.col("rank") <= topn)
             .select("query_id", "cand_id",
                     F.round(F.col("adist_u") / F.lit(float(_MICRO)), 6)
                     .alias("adist"),
                     F.col("rank").cast("bigint").alias("rank")))
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    return _ivfpq_adc(spark, sf_dir, TOP_K)
+
+
+# ADC shortlist width for the exact re-rank stage: 8x the final k. The
+# 32-bit codes rank coarsely (r2/r3 ADC recall ~0.3-0.5 at fixture
+# scale); a wider shortlist is nearly free (the ADC scores already
+# exist — this only moves the row_number cutoff) while the exact stage
+# touches raw vectors for just RERANK_R rows per query.
+RERANK_R = 8 * TOP_K
+
+
+def q_ann_ivfpq_rerank_topk(spark, sf_dir):
+    """IVFPQ + exact re-rank — the standard production serving pattern
+    the compressed index is designed for (ref IndexingManager pairs the
+    IVFPQ index with exact-vector re-scoring of the shortlist): ADC
+    shortlists RERANK_R candidates per query from 32-bit codes, then
+    ONLY those rows join the raw vectors for an exact-cosine re-rank to
+    TOP_K.
+
+    Scale story: at 100 TB the candidate vectors never materialize —
+    the shortlist join keys on cand_id against the (bucketed) embedding
+    table and moves R rows per query, not a probe set; everything
+    upstream stays 8-small-ints-per-doc. Recovers near-IVF recall at PQ
+    memory cost."""
+    shortlist = (_ivfpq_adc(spark, sf_dir, RERANK_R)
+                 .select("query_id", "cand_id"))
+    e = _with_norm(emb(spark, sf_dir))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("norm").alias("qnorm")))
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+                 F.col("norm").alias("cnorm"))
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    sim = F.round(dot / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc())
+    return (shortlist.join(c, "cand_id").join(F.broadcast(q), "query_id")
+            .withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "sim",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def q_ann_ivfpq_rerank_recall(spark, sf_dir):
+    """recall@k of the re-ranked IVFPQ search vs exact brute force — the
+    number that shows the shortlist-then-exact stage recovering the
+    recall the 32-bit codes alone give up."""
+    bf = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    rr = q_ann_ivfpq_rerank_topk(spark, sf_dir).select("query_id", "cand_id")
+    hit = bf.join(rr, ["query_id", "cand_id"], "left_semi")
+    return (hit.agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(bf.agg(F.count(F.lit(1)).alias("total")))
+            .select("hits", "total",
+                    F.round(F.col("hits") / F.col("total"), 6).alias("recall")))
 
 
 def _duck_d2(a: str, b: str, dim: int) -> str:
@@ -626,7 +685,8 @@ SQL_ANN_IVFPQ_CODES = (
     " FROM pqcodes")
 
 
-SQL_ANN_IVFPQ_TOPK = (
+def _sql_ivfpq_adc(topn: int) -> str:
+    return (
     "WITH " + _duck_centroid_ctes() + ","
     " cells AS (" + _DUCK_CELLS_BODY + "),"
     " assign AS (SELECT vec_id, cell FROM cells WHERE crank = 1),"
@@ -654,7 +714,10 @@ SQL_ANN_IVFPQ_TOPK = (
     "  CAST(rank AS BIGINT) AS rank FROM ("
     "   SELECT *, row_number() OVER (PARTITION BY query_id"
     "     ORDER BY adist_u ASC, cand_id ASC) AS rank FROM scored)"
-    f" WHERE rank <= {TOP_K}")
+    f" WHERE rank <= {topn}")
+
+
+SQL_ANN_IVFPQ_TOPK = _sql_ivfpq_adc(TOP_K)
 
 
 def q_ann_ivfpq_recall(spark, sf_dir):
@@ -667,6 +730,32 @@ def q_ann_ivfpq_recall(spark, sf_dir):
             .crossJoin(bf.agg(F.count(F.lit(1)).alias("total")))
             .select("hits", "total",
                     F.round(F.col("hits") / F.col("total"), 6).alias("recall")))
+
+
+SQL_ANN_IVFPQ_RERANK_TOPK = (
+    "WITH sl AS (SELECT query_id, cand_id FROM ("
+    + _sql_ivfpq_adc(RERANK_R) + ")),"
+    " e2 AS (" + _DUCK_NORM + "),"
+    f" q2 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e2"
+    f"   WHERE vec_id < {N_QUERIES}),"
+    " c2 AS (SELECT vec_id AS cand_id, v AS cv, norm AS cnorm FROM e2),"
+    " sims AS (SELECT sl.query_id, sl.cand_id,"
+    "   round(list_dot_product(qv, cv) / (qnorm * cnorm), 6) AS sim"
+    "   FROM sl JOIN c2 USING (cand_id) JOIN q2 USING (query_id))"
+    " SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM ("
+    "   SELECT *, row_number() OVER (PARTITION BY query_id"
+    "     ORDER BY sim DESC, cand_id ASC) AS rank FROM sims)"
+    f" WHERE rank <= {TOP_K}")
+
+
+SQL_ANN_IVFPQ_RERANK_RECALL = (
+    "WITH bf AS (" + SQL_ANN_BRUTEFORCE_TOPK + "),"
+    " rr AS (" + SQL_ANN_IVFPQ_RERANK_TOPK + "),"
+    " h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM bf WHERE EXISTS ("
+    "   SELECT 1 FROM rr WHERE rr.query_id = bf.query_id"
+    "   AND rr.cand_id = bf.cand_id)),"
+    " t2 AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bf)"
+    " SELECT hits, total, round(hits / total, 6) AS recall FROM h, t2")
 
 
 SQL_ANN_IVFPQ_RECALL = (
@@ -712,5 +801,9 @@ REG: dict[str, tuple] = {
     "ann_ivfpq_codes": (q_ann_ivfpq_codes, SQL_ANN_IVFPQ_CODES),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
+    "ann_ivfpq_rerank_topk": (q_ann_ivfpq_rerank_topk,
+                              SQL_ANN_IVFPQ_RERANK_TOPK),
+    "ann_ivfpq_rerank_recall": (q_ann_ivfpq_rerank_recall,
+                                SQL_ANN_IVFPQ_RERANK_RECALL),
     "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
 }
