@@ -189,6 +189,98 @@ SQL_DEDUP_MINHASH_LSH = (
     " JOIN sizes sb ON sb.doc_id = p.doc_b")
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters + deduplicated corpus: connected components of the
+# VERIFIED near-dup graph (LSH pairs with exact Jaccard >= JACCARD_MIN),
+# each component labeled by its min doc_id — the step that turns
+# pairwise hits into the keep/drop decision a dedup pipeline ships.
+#
+# Algorithm: min-label propagation to fixpoint. Every doc starts with
+# label = own id; each round a doc takes the min of its own label and
+# its neighbors' labels; converged labels = component minima. One
+# bounded-key shuffle (join on doc id + groupBy min) per round,
+# localCheckpoint each round so lineage stays O(1) — the standard
+# large-graph CC recipe (Kiveris et al. "Connected Components in
+# MapReduce", SoCC'14 family). Rounds needed = graph diameter; near-dup
+# components are star-ish clusters of copies (diameter a few hops, not
+# a social graph), so convergence is fast at any scale and the loop is
+# capped + asserted. The driver-side loop carries only the convergence
+# COUNT, never data.
+# ---------------------------------------------------------------------------
+
+JACCARD_MIN = 0.5     # verified-edge threshold: bucket collisions with
+                      # low true similarity are not duplication evidence
+_CC_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark, sf_dir):
+    e = (q_dedup_minhash_lsh(spark, sf_dir)
+         .filter(F.col("jaccard") >= JACCARD_MIN)
+         .select("doc_a", "doc_b"))
+    # undirected: propagate both ways; materialized ONCE (the LSH +
+    # Jaccard-verify plan above it never re-executes in the loop)
+    edges = e.union(e.select(F.col("doc_b").alias("doc_a"),
+                             F.col("doc_a").alias("doc_b"))).localCheckpoint()
+    labels = (t(spark, sf_dir, "documents")
+              .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("doc_id").cast("bigint").alias("cluster_id"))
+              .localCheckpoint())
+    for _ in range(_CC_MAX_ITERS):
+        prop = (edges.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+                .select(F.col("doc_b").alias("doc_id"), "cluster_id"))
+        new = (labels.union(prop)
+               .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("cluster_id", "prev"),
+                            "doc_id")
+                   .filter(F.col("cluster_id") != F.col("prev")).count())
+        labels = new
+        if changed == 0:
+            return labels
+    raise AssertionError(f"CC did not converge in {_CC_MAX_ITERS} rounds")
+
+
+def _duck_cc_ctes() -> str:
+    """pairs (thresholded verified edges) + reach (recursive closure) +
+    cc (min reachable id per doc) — the oracle computes TRUE connected
+    components, independent of the Spark loop's round structure."""
+    return (
+        "pairs AS (SELECT doc_a, doc_b FROM (" + SQL_DEDUP_MINHASH_LSH + ")"
+        f"   WHERE jaccard >= {JACCARD_MIN}),"
+        " e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "   UNION ALL SELECT doc_b, doc_a FROM pairs),"
+        " reach(v, u) AS ("
+        "   SELECT doc_id, doc_id FROM documents"
+        "   UNION"
+        "   SELECT r.v, e.dst FROM reach r JOIN e ON e.src = r.u),"
+        " cc AS (SELECT CAST(v AS BIGINT) AS doc_id,"
+        "   CAST(min(u) AS BIGINT) AS cluster_id FROM reach GROUP BY v)")
+
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE " + _duck_cc_ctes() + " SELECT doc_id, cluster_id FROM cc")
+
+
+def q_dedup_fuzzy_corpus(spark, sf_dir):
+    """The deduplicated corpus: one survivor (min doc_id) per near-dup
+    cluster, with the cluster size it represents — the table a training
+    pipeline feeds downstream. Singletons survive with cluster_size 1;
+    drop count = sum(cluster_size - 1)."""
+    cl = q_dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (cl.filter(F.col("doc_id") == F.col("cluster_id"))
+            .join(sizes, "cluster_id")
+            .select("doc_id", "cluster_size"))
+
+
+SQL_DEDUP_FUZZY_CORPUS = (
+    "WITH RECURSIVE " + _duck_cc_ctes() + ","
+    " sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size"
+    "   FROM cc GROUP BY cluster_id)"
+    " SELECT c.doc_id, s.cluster_size FROM cc c JOIN sizes s"
+    " USING (cluster_id) WHERE c.doc_id = c.cluster_id")
+
+# ---------------------------------------------------------------------------
 # SimHash — 60-bit fingerprint: bit_j set iff sum over tokens of
 # count × (2·bit_j(hash60(token)) − 1) > 0. hash60 = first 15 md5 hex
 # digits (Spark conv(...,16,10) == DuckDB ('0x'||...)::BIGINT, both exact
@@ -338,6 +430,8 @@ REG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_fuzzy_corpus": (q_dedup_fuzzy_corpus, SQL_DEDUP_FUZZY_CORPUS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "simhash_clusters": (q_simhash_clusters, SQL_SIMHASH_CLUSTERS),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
