@@ -205,8 +205,70 @@ SQL_CHAR_NGRAMS = (
     " GROUP BY ngram")
 
 
+# ---------------------------------------------------------------------------
+# repetition quality signals — the published Gopher/C4-family n-gram
+# filters (duplicate n-gram fraction, top n-gram coverage) every LLM
+# data pipeline applies; complements q_quality_score's 1-gram
+# uniq_ratio. Distributed shape: explode n-grams → groupBy (doc, gram)
+# → per-doc agg — no per-row maps, the (doc_id, gram) key shards evenly
+# at any corpus size (grams of ONE doc colocate; docs spread).
+# ---------------------------------------------------------------------------
+
+
+def _gram_stats(d, n: int, prefix: str):
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN"
+        f" transform(sequence(0, size(toks) - {n}),"
+        f"  i -> concat_ws(' ', {parts}))"
+        " ELSE array() END")
+    cnt = (d.withColumn("toks", toks)
+           .select("doc_id", F.explode(grams).alias("g"))
+           .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
+    tot = F.sum("c").cast("bigint")
+    return (cnt.groupBy("doc_id")
+            .agg(tot.alias(f"{prefix}_total"),
+                 F.round((tot - F.count(F.lit(1))) / tot.cast("double"), 6)
+                 .alias(f"{prefix}_dup_frac"),
+                 F.round(F.max("c") / tot.cast("double"), 6)
+                 .alias(f"{prefix}_top_frac")))
+
+
+def q_quality_repetition(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    g2 = _gram_stats(d, 2, "g2")
+    g3 = _gram_stats(d, 3, "g3")
+    return g2.join(g3, "doc_id")
+
+
+def _duck_gram_stats(n: int, prefix: str) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"SELECT doc_id, CAST(sum(c) AS BIGINT) AS {prefix}_total,"
+        f" round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)"
+        f"   AS {prefix}_dup_frac,"
+        f" round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS {prefix}_top_frac"
+        " FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM ("
+        "   SELECT doc_id, unnest(list_transform("
+        f"     generate_series(1, len(toks) - {n - 1}), i -> {parts})) AS g"
+        "   FROM (SELECT doc_id,"
+        "     list_filter(string_split(text, ' '), x -> x <> '') AS toks"
+        f"    FROM documents) WHERE len(toks) >= {n})"
+        "  GROUP BY doc_id, g) GROUP BY doc_id")
+
+
+SQL_QUALITY_REPETITION = (
+    "WITH g2 AS (" + _duck_gram_stats(2, "g2") + "),"
+    " g3 AS (" + _duck_gram_stats(3, "g3") + ")"
+    " SELECT g2.doc_id, g2_total, g2_dup_frac, g2_top_frac,"
+    "  g3_total, g3_dup_frac, g3_top_frac"
+    " FROM g2 JOIN g3 USING (doc_id)")
+
+
 REG: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
