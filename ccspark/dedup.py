@@ -212,15 +212,16 @@ JACCARD_MIN = 0.5     # verified-edge threshold: bucket collisions with
 _CC_MAX_ITERS = 20
 
 
-def q_dedup_clusters(spark, sf_dir):
-    e = (q_dedup_minhash_lsh(spark, sf_dir)
-         .filter(F.col("jaccard") >= JACCARD_MIN)
-         .select("doc_a", "doc_b"))
-    # undirected: propagate both ways; materialized ONCE (the LSH +
-    # Jaccard-verify plan above it never re-executes in the loop)
-    edges = e.union(e.select(F.col("doc_b").alias("doc_a"),
-                             F.col("doc_a").alias("doc_b"))).localCheckpoint()
-    labels = (t(spark, sf_dir, "documents")
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id = min doc_id in component) for `nodes`
+    (column doc_id) under undirected `pairs` (doc_a, doc_b), by
+    min-label propagation to fixpoint."""
+    # undirected: propagate both ways; materialized ONCE (the plan that
+    # produced the pairs never re-executes in the loop)
+    edges = pairs.union(pairs.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"))).localCheckpoint()
+    labels = (nodes
               .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       F.col("doc_id").cast("bigint").alias("cluster_id"))
               .localCheckpoint())
@@ -237,6 +238,14 @@ def q_dedup_clusters(spark, sf_dir):
         if changed == 0:
             return labels
     raise AssertionError(f"CC did not converge in {_CC_MAX_ITERS} rounds")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    pairs = (q_dedup_minhash_lsh(spark, sf_dir)
+             .filter(F.col("jaccard") >= JACCARD_MIN)
+             .select("doc_a", "doc_b"))
+    return connected_components(
+        t(spark, sf_dir, "documents").select("doc_id"), pairs)
 
 
 def _duck_cc_ctes() -> str:

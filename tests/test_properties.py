@@ -136,3 +136,38 @@ class TestSchedulerInvariants:
             assert m["new_seen"] >= 0 and m["frontier_depth"] >= 0
             seen_running += m["new_seen"]
         assert seen_running == eng.seen.seen_df().count()
+
+
+class TestConnectedComponents:
+    """Pin the CC loop's multi-round propagation on graphs whose
+    diameter forces >1 round — shapes the synthetic corpus's star-ish
+    duplicate clusters may never produce."""
+
+    def _cc(self, spark, n_nodes, pairs):
+        from ccspark.dedup import connected_components
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n_nodes)], "doc_id bigint")
+        edges = spark.createDataFrame(
+            pairs or [(0, 0)], "doc_a bigint, doc_b bigint")
+        if not pairs:
+            edges = edges.filter("doc_a <> doc_a")
+        got = connected_components(nodes, edges).collect()
+        return {r.doc_id: r.cluster_id for r in got}
+
+    def test_chain_propagates_min_across_diameter(self, spark):
+        # 0-1-2-3-4-5 single chain: min label must travel 5 hops
+        labels = self._cc(spark, 6, [(i, i + 1) for i in range(5)])
+        assert labels == {i: 0 for i in range(6)}
+
+    def test_two_components_and_singletons(self, spark):
+        # {1,2,7} via 2-7,1-2; {4,5}; 0,3,6 singleton
+        labels = self._cc(spark, 8, [(2, 7), (1, 2), (4, 5)])
+        assert labels == {0: 0, 1: 1, 2: 1, 7: 1, 4: 4, 5: 4, 3: 3, 6: 6}
+
+    def test_no_edges_all_singletons(self, spark):
+        labels = self._cc(spark, 4, [])
+        assert labels == {i: i for i in range(4)}
+
+    def test_cycle_converges(self, spark):
+        labels = self._cc(spark, 4, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        assert labels == {i: 0 for i in range(4)}
