@@ -95,11 +95,45 @@ def q_crawl_priority_eval(spark, sf_dir):
         FF.col("url").rlike(SPARK_MEDIA_RE).alias("truth_big")))
 
 
+def q_seen_recrawl_cuckoo(spark, sf_dir):
+    """Recrawl path end-to-end on the cuckoo URL-seen backend (U5 /
+    north_rule 'bloom/cuckoo'): add every order URL to the seen set,
+    remove the 'F'-status ones (SeenSet.remove: exact-table 'full'
+    rewrite + per-bucket cuckoo fingerprint deletion), then run the full
+    filter_new probe — exactly the removed URLs must be re-admitted.
+    The DuckDB twin states the same set declaratively."""
+    from .seen import SeenSet, with_bucket
+    from .tables import SnapshotStore
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    urls = orders.select(
+        F.concat(F.lit("http://shop.example.com/order/"),
+                 F.col("o_orderkey").cast("string")).alias("url"),
+        "o_orderstatus")
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "ccspark_recrawl_%s_p%d" % (
+            os.path.basename(os.path.normpath(sf_dir)), os.getpid()))
+    shutil.rmtree(state, ignore_errors=True)
+    seen = SeenSet(SnapshotStore(spark, state), partitions=8,
+                   filter_kind="cuckoo", cuckoo_buckets=1 << 13)
+    seen.add(with_bucket(urls.select("url"), partitions=8), 0)
+    seen.remove(urls.filter(F.col("o_orderstatus") == "F").select("url"), 1)
+    return (seen.filter_new(with_bucket(urls.select("url"), partitions=8))
+            .select("url"))
+
+
+RECRAWL_SQL = """
+SELECT concat('http://shop.example.com/order/', CAST(o_orderkey AS VARCHAR)) AS url
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
 CRAWL_REG = {
     "crawl_scheduled_2rounds": (q_crawl_scheduled, None),
     "crawl_extract_links": (q_crawl_extract_links, None),
     "crawl_span_kinds": (q_crawl_span_kinds, None),
     "crawl_priority_eval": (q_crawl_priority_eval, None),
+    "seen_recrawl_cuckoo": (q_seen_recrawl_cuckoo, RECRAWL_SQL),
 }
 
 # ---------------------------------------------------------------------------

@@ -135,13 +135,19 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, documents_path: str,
                  seeds_path: str, robots_path: str,
                  params: CrawlParams = CrawlParams(), use_bloom: bool = True,
-                 bits_per_bucket: int = 1 << 20):
+                 bits_per_bucket: int = 1 << 20,
+                 filter_kind: str | None = None, cuckoo_buckets: int = 1 << 14):
+        """filter_kind selects the URL-seen accelerator per the
+        north_rule's 'bloom/cuckoo': None → 'bloom' when use_bloom (the
+        default), or 'cuckoo' for the deletable-filter backend (recrawl
+        via SeenSet.remove)."""
         self.spark = spark
         self.params = params
         self.documents_path = documents_path
         self.store = SnapshotStore(spark, state_dir)
         self.seen = SeenSet(self.store, partitions=params.seen_partitions,
-                            use_bloom=use_bloom, bits_per_bucket=bits_per_bucket)
+                            use_bloom=use_bloom, bits_per_bucket=bits_per_bucket,
+                            filter_kind=filter_kind, cuckoo_buckets=cuckoo_buckets)
         self.frontier_tbl = self.store.table("frontier")
         self.scheduled_tbl = self.store.table("scheduled")
         self.candidates_tbl = self.store.table("candidates")
@@ -185,7 +191,8 @@ class CrawlEngine:
         round's log entry (None when no round has committed). Shared by
         batch resume and streaming-batch redelivery."""
         last = self.store.last_round()
-        tables = [("seen", self.seen.seen_tbl), ("bloom", self.seen.bloom_tbl),
+        tables = [("seen", self.seen.seen_tbl),
+                  (self.seen.filter_name, self.seen.filter_tbl),
                   ("frontier", self.frontier_tbl),
                   ("scheduled", self.scheduled_tbl),
                   ("candidates", self.candidates_tbl),
@@ -314,11 +321,11 @@ class CrawlEngine:
             # loses the compaction, never round data
             versions["seen"] = self.seen.seen_tbl.compact_chain(
                 r, repartition=(min(p.seen_partitions, 32), "bucket"))
-            # bloom: materialize latest-bucket-wins so the delta chain
-            # stays bounded (same cadence as the seen chain)
-            bv = self.seen.compact_bloom(r)
+            # filter (bloom/cuckoo): materialize latest-bucket-wins so
+            # the delta chain stays bounded (same cadence as the seen chain)
+            bv = self.seen.compact_filter(r)
             if bv is not None:
-                versions["bloom"] = bv
+                versions[self.seen.filter_name] = bv
             # frontier: materialize the live set as a 'full' snapshot so
             # the merge-on-read subtraction chain stays bounded
             versions["frontier"] = self.frontier_tbl.commit(

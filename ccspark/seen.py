@@ -8,24 +8,38 @@ are bookkept separately):
 1. **Exact seen table** (set of record): snapshot table of
    (url, url_hash, bucket, first_round), hash-partitioned by
    bucket = pmod(xxhash64(url), P). Correctness comes from a left_anti
-   join against this table — never from the bloom.
+   join against this table — never from the approximate filter.
 
-2. **Partitioned bloom accelerator**: one bitmap per bucket, built and
-   probed inside Arrow applyInPandas/cogroup kernels (vectorized numpy —
-   no per-row Python), persisted as a (bucket, bitmap, n, v) snapshot
-   table committed as PER-BUCKET DELTAS: a round writes only the buckets
-   that received new URLs, reads resolve latest-bucket-wins (max_by v),
-   and compaction periodically materializes the resolved state.
-   Probing splits candidates into definitely-new (bypass the exact join
-   entirely — the common case on a growing crawl) and maybe-seen (the
-   only rows that pay the exact anti-join shuffle). False positives cost
-   a redundant join probe; false negatives are impossible (property test).
+2. **Partitioned approximate-filter accelerator** — pluggable kind, per
+   the north_rule's "bloom/cuckoo filter":
+
+   - ``bloom``: one bitmap per bucket (k double-hashed bit positions,
+     vectorized numpy). Cheapest per key (~1.2 B at 3% fpp) but
+     insert-only — removing URLs means rebuilding affected buckets from
+     the exact table.
+   - ``cuckoo``: partial-key cuckoo table per bucket (cuckoo.py; Fan et
+     al. 2014: 4-slot buckets, 16-bit fingerprints, i2 = i1 XOR H(fp)).
+     ~2 B/key at 95% max load with fpp ≈ 0.012% (fewer false positives
+     = fewer redundant exact-join probes), and O(1) deletion — the
+     recrawl path removes keys in place instead of rebuilding.
+
+   Either filter is built and probed inside Arrow applyInPandas/cogroup
+   kernels (vectorized numpy — no per-row Python), persisted as a
+   (bucket, blob, n, v) snapshot table committed as PER-BUCKET DELTAS: a
+   round writes only the buckets that received new URLs, reads resolve
+   latest-bucket-wins (max_by v), and compaction periodically
+   materializes the resolved state. Probing splits candidates into
+   definitely-new (bypass the exact join entirely — the common case on a
+   growing crawl) and maybe-seen (the only rows that pay the exact
+   anti-join shuffle). False positives cost a redundant join probe;
+   false negatives are impossible (property tests for both kinds).
 
 Scale arithmetic (BASELINE.md): P=256 buckets. At bench (1e6 URLs) each
-bitmap is 2^20 bits = 128 KiB → 32 MiB total. At 1e10 URLs: 39e6
-keys/bucket × ~10 bits ≈ 48 MiB/bucket ≈ 12 GiB total — distributed via
-the cogroup (each task touches only its bucket's bitmap); nothing is ever
-collected to the driver or broadcast.
+bloom bitmap is 2^20 bits = 128 KiB → 32 MiB total. At 1e10 URLs: 39e6
+keys/bucket × ~10 bits ≈ 48 MiB/bucket ≈ 12 GiB total (bloom) or
+2^24 cuckoo buckets × 4 × 2 B = 128 MiB/bucket ≈ 32 GiB (cuckoo, with
+deletability) — distributed via the cogroup (each task touches only its
+bucket's state); nothing is ever collected to the driver or broadcast.
 """
 
 from __future__ import annotations
@@ -34,22 +48,25 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from . import cuckoo as ck
 from .tables import SnapshotStore
 
 _HASH_KEY_1 = "ccsparkbloomkey1"
 _HASH_KEY_2 = "ccsparkbloomkey2"
 
-BLOOM_SCHEMA = T.StructType([
+FILTER_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
     T.StructField("bitmap", T.BinaryType()),
     T.StructField("n", T.LongType()),
 ])
+BLOOM_SCHEMA = FILTER_SCHEMA  # back-compat name
 
 # persisted rows additionally carry the snapshot version that wrote them
 # (latest-bucket-wins on read), so each round commits ONLY the buckets
-# that received new URLs as a delta instead of rewriting every bitmap
-BLOOM_ROW_SCHEMA = T.StructType(
-    BLOOM_SCHEMA.fields + [T.StructField("v", T.LongType())])
+# that received new URLs as a delta instead of rewriting every blob
+FILTER_ROW_SCHEMA = T.StructType(
+    FILTER_SCHEMA.fields + [T.StructField("v", T.LongType())])
+BLOOM_ROW_SCHEMA = FILTER_ROW_SCHEMA  # back-compat name
 
 
 def _bit_positions(urls: pd.Series, m_bits: int, k: int) -> np.ndarray:
@@ -59,6 +76,39 @@ def _bit_positions(urls: pd.Series, m_bits: int, k: int) -> np.ndarray:
     h2 = pd.util.hash_pandas_object(urls, index=False, hash_key=_HASH_KEY_2).to_numpy()
     j = np.arange(k, dtype=np.uint64)
     return ((h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _probe_blob(urls: pd.Series, blob: bytes, kind: str,
+                m: int, k: int) -> np.ndarray:
+    if kind == "cuckoo":
+        table = ck.from_bytes(blob)
+        fp, i1 = ck.key_parts(urls, table.shape[0])
+        return ck.contains(table, fp, i1)
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    idx = _bit_positions(urls, m, k)
+    return bits[idx].all(axis=1)
+
+
+def _fold_blob(urls: pd.Series, blob: bytes | None, kind: str,
+               m: int, k: int, nbuck: int) -> bytes:
+    if kind == "cuckoo":
+        table = ck.from_bytes(blob) if blob is not None else ck.new_table(nbuck)
+        fp, i1 = ck.key_parts(urls, table.shape[0])
+        ck.insert(table, fp, i1)
+        return ck.to_bytes(table)
+    if blob is not None:
+        bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8)).copy()
+    else:
+        bits = np.zeros(m, dtype=np.uint8)
+    bits[_bit_positions(urls, m, k).ravel()] = 1
+    return np.packbits(bits).tobytes()
+
+
+def _delete_blob(urls: pd.Series, blob: bytes) -> bytes:
+    table = ck.from_bytes(blob)
+    fp, i1 = ck.key_parts(urls, table.shape[0])
+    ck.delete(table, fp, i1)
+    return ck.to_bytes(table)
 
 
 def with_bucket(df: DataFrame, url_col: str = "url", partitions: int = 256) -> DataFrame:
@@ -72,76 +122,101 @@ def with_bucket(df: DataFrame, url_col: str = "url", partitions: int = 256) -> D
 class SeenSet:
     def __init__(self, store: SnapshotStore, partitions: int = 256,
                  use_bloom: bool = True, bits_per_bucket: int = 1 << 20,
-                 num_hashes: int = 7):
+                 num_hashes: int = 7, filter_kind: str | None = None,
+                 cuckoo_buckets: int = 1 << 14):
+        """filter_kind: 'bloom' (default when use_bloom), 'cuckoo', or
+        None (exact anti-join only). cuckoo_buckets × 4 slots is the
+        per-partition capacity — size ≥ expected keys/partition / 0.84
+        (the b=4 high-load bound) rounded up to a power of two."""
         self.store = store
         self.spark = store.spark
         self.partitions = partitions
-        self.use_bloom = use_bloom
+        if filter_kind is None:
+            filter_kind = "bloom" if use_bloom else None
+        assert filter_kind in (None, "bloom", "cuckoo")
+        self.kind = filter_kind
+        self.use_bloom = filter_kind is not None  # back-compat meaning: accelerated
         self.m = bits_per_bucket
         self.k = num_hashes
+        self.nbuck = cuckoo_buckets
         self.seen_tbl = store.table("seen")
-        self.bloom_tbl = store.table("bloom")
+        self.filter_name = filter_kind or "bloom"
+        self.filter_tbl = store.table(self.filter_name)
+        self.bloom_tbl = self.filter_tbl  # back-compat alias
 
     # -- read state ---------------------------------------------------------
 
     def seen_df(self, version: int | None = None) -> DataFrame | None:
-        """The exact set of record: union of all committed deltas."""
+        """The exact set of record: union of all committed deltas since
+        the last 'full' snapshot (a recrawl removal commits 'full')."""
         return self.seen_tbl.read_chain(version) if self.seen_tbl.exists() else None
 
-    def _bloom_df(self) -> DataFrame | None:
-        """Latest bitmap per bucket, resolved merge-on-read over the delta
+    def _filter_df(self) -> DataFrame | None:
+        """Latest blob per bucket, resolved merge-on-read over the delta
         chain: each round commits only the buckets it touched, so a
-        bucket's current bitmap is its row with the highest writer
+        bucket's current state is its row with the highest writer
         version `v` since the last 'full' (compaction) snapshot. The
         resolve is a max_by over ≤ P × chain-length tiny rows — nothing
         like the 12 GiB full-rewrite round 2 paid per round."""
-        if not self.bloom_tbl.exists():
+        if not self.filter_tbl.exists():
             return None
-        chain = self.bloom_tbl.read_chain()
+        chain = self.filter_tbl.read_chain()
         return (chain.groupBy("bucket")
                 .agg(F.max_by(F.struct("bitmap", "n"), F.col("v")).alias("_b"),
                      F.max("v").alias("v"))
                 .select("bucket", "_b.bitmap", "_b.n", "v"))
 
-    def compact_bloom(self, round_no: int) -> int | None:
+    _bloom_df = _filter_df  # back-compat alias
+
+    def compact_filter(self, round_no: int) -> int | None:
         """Materialize the resolved per-bucket state as a 'full' snapshot
-        so the latest-bucket-wins chain stays bounded (the bloom twin of
+        so the latest-bucket-wins chain stays bounded (the filter twin of
         the seen chain's compact_chain)."""
-        resolved = self._bloom_df()
+        resolved = self._filter_df()
         if resolved is None:
             return None
-        return self.bloom_tbl.commit(
+        return self.filter_tbl.commit(
             resolved, round_no, kind="full",
             repartition=(min(self.partitions, 64), "bucket"))
+
+    compact_bloom = compact_filter  # back-compat alias
+
+    # -- vectorized per-bucket kernels ---------------------------------------
+    # module-level _probe_blob/_fold_blob/_delete_blob are parameterized by
+    # (kind, m, k, nbuck) scalars so UDF closures never capture `self`
+    # (which holds the SparkSession and cannot ship to executors)
+
+    def _kernel_params(self) -> tuple:
+        return (self.kind, self.m, self.k, self.nbuck)
 
     # -- filter candidates to never-seen ------------------------------------
 
     def filter_new(self, candidates: DataFrame) -> DataFrame:
         """Candidates (must carry url/url_hash/bucket) → rows whose url has
-        never been seen. Bloom pre-filter when enabled; exact anti-join
-        backstop always."""
+        never been seen. Approximate-filter pre-filter when enabled; exact
+        anti-join backstop always."""
         seen = self.seen_df()
         if seen is None:
             return candidates
-        bloom = self._bloom_df() if self.use_bloom else None
-        if bloom is None:
+        filt = self._filter_df() if self.kind else None
+        if filt is None:
             return candidates.join(seen.select("url"), "url", "left_anti")
 
-        m, k = self.m, self.k
         out_schema = T.StructType(
             candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType())])
+        kind, m, k, _ = self._kernel_params()
 
-        def probe(key, cand_pdf, bloom_pdf):
+        def probe(key, cand_pdf, filt_pdf):
             if len(cand_pdf) == 0:
                 return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
-            if len(bloom_pdf) == 0 or bloom_pdf["bitmap"].iloc[0] is None:
+            if len(filt_pdf) == 0 or filt_pdf["bitmap"].iloc[0] is None:
                 return cand_pdf.assign(maybe_seen=False)
-            bits = np.unpackbits(np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8))
-            idx = _bit_positions(cand_pdf["url"], m, k)
-            return cand_pdf.assign(maybe_seen=bits[idx].all(axis=1))
+            return cand_pdf.assign(
+                maybe_seen=_probe_blob(cand_pdf["url"],
+                                       filt_pdf["bitmap"].iloc[0], kind, m, k))
 
         flagged = (candidates.groupBy("bucket")
-                   .cogroup(bloom.groupBy("bucket"))
+                   .cogroup(filt.groupBy("bucket"))
                    .applyInPandas(probe, schema=out_schema))
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = (flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -153,7 +228,7 @@ class SeenSet:
     def add(self, new_rows: DataFrame, round_no: int,
             metrics: dict | None = None) -> dict[str, int]:
         """Append (url, url_hash, bucket) of `new_rows` to the exact table
-        and fold them into the per-bucket bloom bitmaps. Returns committed
+        and fold them into the per-bucket filter state. Returns committed
         snapshot versions."""
         add_df = new_rows.select("url", "url_hash", "bucket",
                                  F.lit(round_no).alias("first_round"))
@@ -162,48 +237,112 @@ class SeenSet:
             add_df, round_no, metrics=metrics,
             repartition=(min(self.partitions, 32), "bucket"))}
 
-        if self.use_bloom:
-            m, k = self.m, self.k
+        if self.kind:
+            kind, m, k, nbuck = self._kernel_params()
 
-            def fold(key, urls_pdf, bloom_pdf):
+            def fold(key, urls_pdf, filt_pdf):
                 if len(urls_pdf) == 0:
-                    # bucket present only on the bloom side (can't happen
+                    # bucket present only on the filter side (can't happen
                     # after the semi-join below, but keep fold total):
                     # nothing new → emit nothing, the old row stays live
                     return pd.DataFrame(
                         {c: [] for c in ("bucket", "bitmap", "n")})
-                if len(bloom_pdf):
-                    bits = np.unpackbits(np.frombuffer(bloom_pdf["bitmap"].iloc[0],
-                                                       dtype=np.uint8)).copy()
-                    n = int(bloom_pdf["n"].iloc[0])
-                else:
-                    bits = np.zeros(m, dtype=np.uint8)
-                    n = 0
-                idx = _bit_positions(urls_pdf["url"], m, k)
-                bits[idx.ravel()] = 1
-                n += len(urls_pdf)
-                return pd.DataFrame({"bucket": [key[0]],
-                                     "bitmap": [np.packbits(bits).tobytes()],
-                                     "n": [n]})
+                blob = filt_pdf["bitmap"].iloc[0] if len(filt_pdf) else None
+                n = int(filt_pdf["n"].iloc[0]) if len(filt_pdf) else 0
+                return pd.DataFrame({
+                    "bucket": [key[0]],
+                    "bitmap": [_fold_blob(urls_pdf["url"], blob, kind, m, k, nbuck)],
+                    "n": [n + len(urls_pdf)]})
 
             new_urls = add_df.select("bucket", "url")
-            bloom = self._bloom_df()
-            if bloom is None:
-                bloom = self.spark.createDataFrame([], BLOOM_ROW_SCHEMA)
+            filt = self._filter_df()
+            if filt is None:
+                filt = self.spark.createDataFrame([], FILTER_ROW_SCHEMA)
             else:
                 # DELTA commit: fold (and re-emit) ONLY buckets that
                 # received new URLs this round. Round 2 cogrouped the
-                # full bloom table and re-wrote every bitmap every round
+                # full filter table and re-wrote every blob every round
                 # (≈12 GiB/round at the 1e10-URL design point no matter
                 # how few URLs arrived); untouched buckets now stay in
                 # their old snapshot files and win via max_by(v) on read.
-                bloom = bloom.join(new_urls.select("bucket").distinct(),
-                                   "bucket", "left_semi")
+                filt = filt.join(new_urls.select("bucket").distinct(),
+                                 "bucket", "left_semi")
             folded = (new_urls.groupBy("bucket")
-                      .cogroup(bloom.drop("v").groupBy("bucket"))
-                      .applyInPandas(fold, schema=BLOOM_SCHEMA))
-            next_v = (self.bloom_tbl.latest_version() or 0) + 1
-            versions["bloom"] = self.bloom_tbl.commit(
+                      .cogroup(filt.drop("v").groupBy("bucket"))
+                      .applyInPandas(fold, schema=FILTER_SCHEMA))
+            next_v = (self.filter_tbl.latest_version() or 0) + 1
+            versions[self.filter_name] = self.filter_tbl.commit(
                 folded.withColumn("v", F.lit(next_v).cast("long")),
                 round_no, repartition=(min(self.partitions, 64), "bucket"))
+        return versions
+
+    # -- recrawl: remove URLs from the seen set ------------------------------
+
+    def remove(self, urls: DataFrame, round_no: int) -> dict[str, int]:
+        """Recrawl support: delete `urls` (a DataFrame with a `url`
+        column) from the seen set so the scheduler re-admits them.
+
+        The exact table commits a 'full' snapshot of the surviving chain
+        (older versions stay readable for time travel). The accelerator
+        updates per affected bucket as a delta:
+
+        - **cuckoo**: clears one fingerprint slot per removed key —
+          O(removed) work, the capability the cuckoo backend exists for;
+        - **bloom**: bits can't be un-set, so affected buckets' bitmaps
+          are REBUILT from the surviving exact rows (a bucket losing all
+          its URLs emits an empty bitmap — the old row must not win the
+          latest-bucket-wins read).
+        """
+        seen = self.seen_df()
+        if seen is None:
+            return {}
+        removed = with_bucket(urls.select("url").distinct(),
+                              partitions=self.partitions)
+        survivors = seen.join(removed.select("url"), "url", "left_anti")
+        versions = {"seen": self.seen_tbl.commit(
+            survivors, round_no, kind="full",
+            repartition=(min(self.partitions, 32), "bucket"))}
+        if not self.kind:
+            return versions
+        filt = self._filter_df()
+        if filt is None:
+            return versions
+        touched = removed.select("bucket").distinct()
+        filt = filt.join(touched, "bucket", "left_semi")
+
+        kind, m, k, nbuck = self._kernel_params()
+        if kind == "cuckoo":
+
+            def upd(key, rm_pdf, filt_pdf):
+                if len(filt_pdf) == 0 or len(rm_pdf) == 0:
+                    return pd.DataFrame(
+                        {c: [] for c in ("bucket", "bitmap", "n")})
+                blob = _delete_blob(rm_pdf["url"], filt_pdf["bitmap"].iloc[0])
+                n = max(0, int(filt_pdf["n"].iloc[0]) - len(rm_pdf))
+                return pd.DataFrame({"bucket": [key[0]], "bitmap": [blob],
+                                     "n": [n]})
+
+            updated = (removed.select("bucket", "url").groupBy("bucket")
+                       .cogroup(filt.drop("v").groupBy("bucket"))
+                       .applyInPandas(upd, schema=FILTER_SCHEMA))
+        else:
+
+            def upd(key, touched_pdf, surv_pdf):
+                if len(touched_pdf) == 0:
+                    return pd.DataFrame(
+                        {c: [] for c in ("bucket", "bitmap", "n")})
+                return pd.DataFrame({
+                    "bucket": [key[0]],
+                    "bitmap": [_fold_blob(surv_pdf["url"], None, kind, m, k, nbuck)],
+                    "n": [len(surv_pdf)]})
+
+            surv_urls = survivors.select("bucket", "url")
+            updated = (touched.groupBy("bucket")
+                       .cogroup(surv_urls.join(touched, "bucket", "left_semi")
+                                .groupBy("bucket"))
+                       .applyInPandas(upd, schema=FILTER_SCHEMA))
+        next_v = (self.filter_tbl.latest_version() or 0) + 1
+        versions[self.filter_name] = self.filter_tbl.commit(
+            updated.withColumn("v", F.lit(next_v).cast("long")),
+            round_no, repartition=(min(self.partitions, 64), "bucket"))
         return versions
