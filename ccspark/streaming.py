@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .scheduler import CANDIDATE_SCHEMA, CrawlEngine
 
+#: deterministic in-batch admission order for the stateful limiter:
+#: frontier total order when the stream is canonicalized, lineage order
+#: for raw candidate streams
+_ADMIT_ORDER = [("priority", False), ("depth", True), ("surt", True),
+                ("url", True), ("url_raw", True), ("src_doc_id", True),
+                ("offset", True)]
+
 
 def candidate_stream(spark: SparkSession, landing_dir: str,
                      max_files_per_trigger: int = 10) -> DataFrame:
@@ -76,6 +83,68 @@ def run_streaming_rounds(engine: CrawlEngine, landing_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def host_budget_stream(stream: DataFrame, max_per_host: int) -> DataFrame:
+    """Custom stateful streaming operator: a CUMULATIVE per-host
+    admission cap across micro-batches via applyInPandasWithState.
+
+    The batch engine's politeness budget (U8) resets every round; a
+    continuous deployment also wants a stream-lifetime bound per host —
+    the streaming generalization of the reference's backpressure bound
+    (U9, ProcessingService.java:44-45 MAX_NUM_PENDING_TASKS, which was
+    likewise a cap on total admitted work, not a per-round one). Each
+    host's group state carries one long (URLs admitted so far); a
+    micro-batch admits rows in deterministic order until the remainder
+    of the budget is spent, and later batches resume from the persisted
+    count. State is O(#hosts) longs, checkpointed by Spark — at 1e8
+    hosts ≈ 800 MB spread over the state-store partitions.
+
+    `stream` must carry `host_key`; all columns pass through unchanged.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream.schema
+    cols = set(stream.columns)
+    by = [c for c, _ in _ADMIT_ORDER if c in cols]
+    asc = [a for c, a in _ADMIT_ORDER if c in cols]
+
+    def limiter(key, pdf_iter, state):
+        admitted = state.get[0] if state.exists else 0
+        remaining = max_per_host - admitted
+        for pdf in pdf_iter:          # consume fully (contract)
+            if remaining <= 0 or len(pdf) == 0:
+                continue
+            if by:
+                pdf = pdf.sort_values(by, ascending=asc, kind="mergesort")
+            take = pdf.iloc[:remaining]
+            remaining -= len(take)
+            yield take
+        state.update((max_per_host - remaining,))
+
+    return (stream.groupBy("host_key")
+            .applyInPandasWithState(limiter, out_schema, "admitted long",
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def run_host_budget_stream(spark: SparkSession, landing_dir: str,
+                           checkpoint_dir: str, out_dir: str,
+                           max_per_host: int,
+                           max_files_per_trigger: int = 1):
+    """Drive host_budget_stream over a candidate landing directory and
+    sink admitted rows to parquet (append). One candidate file per
+    trigger by default so per-batch state transitions are observable."""
+    stream = (candidate_stream(spark, landing_dir, max_files_per_trigger)
+              .withColumn("host_key", F.regexp_extract(
+                  "url_raw", r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:www\.)?([^/?#]*)", 1)))
+    admitted = host_budget_stream(stream, max_per_host)
+    return (admitted.writeStream
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
 
 
 def discovery_rate(spark: SparkSession, landing_dir: str,

@@ -247,3 +247,64 @@ def test_discovery_rate_stream_runs(spark, landing, tmp_path):
     rows = spark.sql("select * from disc").collect()
     assert sum(r.candidates for r in rows) > 0
     assert all(r.window.start is not None for r in rows)
+
+
+def _cand_rows(host, n, start=0):
+    return [(f"http://{host}/p{i:03d}", f"http://{host}/", "a", "", "",
+             1, 0, f"doc-{host}", i, None) for i in range(start, start + n)]
+
+
+def _append_landing(spark, landing, rows):
+    from ccspark.scheduler import CANDIDATE_SCHEMA
+    (spark.createDataFrame(rows, CANDIDATE_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(landing))
+
+
+def test_host_budget_stream_cumulative_cap(spark, tmp_path):
+    """applyInPandasWithState limiter: per-host admissions accumulate
+    ACROSS micro-batches (and across query restarts via the checkpointed
+    state store), never exceeding the stream-lifetime cap."""
+    from ccspark.streaming import run_host_budget_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    _append_landing(spark, landing, _cand_rows("a.com", 3) + _cand_rows("b.com", 2))
+    _append_landing(spark, landing, _cand_rows("a.com", 4, start=3)
+                    + _cand_rows("b.com", 1, start=2))
+
+    q = run_host_budget_stream(spark, landing, ckpt, out, max_per_host=5)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    by_host = {r.host_key: r.n for r in
+               got.groupBy("host_key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_host == {"a.com": 5, "b.com": 3}   # min(cap, total) per host
+    urls = [r.url_raw for r in got.collect()]
+    assert len(urls) == len(set(urls))           # no duplicates across batches
+
+    # restart with MORE data and the SAME checkpoint: the state store
+    # remembers a.com is exhausted; only the new host is admitted
+    _append_landing(spark, landing, _cand_rows("a.com", 3, start=7)
+                    + _cand_rows("c.com", 2))
+    q2 = run_host_budget_stream(spark, landing, ckpt, out, max_per_host=5)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    by_host2 = {r.host_key: r.n for r in
+                got2.groupBy("host_key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_host2 == {"a.com": 5, "b.com": 3, "c.com": 2}
+
+
+def test_host_budget_stream_admits_in_order(spark, tmp_path):
+    """Within one micro-batch the limiter admits in the deterministic
+    lineage order (url_raw, src_doc_id, offset) — not arrival order."""
+    from ccspark.streaming import run_host_budget_stream
+
+    landing = str(tmp_path / "landing")
+    rows = list(reversed(_cand_rows("a.com", 6)))   # arrival order reversed
+    _append_landing(spark, landing, rows)
+    q = run_host_budget_stream(spark, landing, str(tmp_path / "ck"),
+                               str(tmp_path / "out"), max_per_host=3)
+    q.awaitTermination(120)
+    got = sorted(r.url_raw for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [f"http://a.com/p{i:03d}" for i in range(3)]
