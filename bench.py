@@ -218,21 +218,53 @@ def _sub(*args: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+# Watchdog: the sandbox host can hang a Spark job outright (observed:
+# a serve JVM sat at <10% CPU for 80+ minutes, load 0.1 — not slow,
+# STUCK). A hung serve run must not wedge the whole bench, so every
+# read from a serve process goes through a reader-thread + queue with a
+# hard timeout (a thread is immune to the select-vs-buffered-readline
+# race), and main()/multijvm treat a timeout as a dead pair: kill the
+# servers, respawn once, and carry on with the pairs already measured.
+_RUN_TIMEOUT_S = int(os.environ.get("CCSPARK_BENCH_RUN_TIMEOUT_S", "900"))
+
+
 def _start_server(coreset: list[int]) -> subprocess.Popen:
-    return subprocess.Popen(
+    import queue
+    import threading
+    p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--phase", "serve", "--coreset",
          ",".join(str(c) for c in coreset)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, env=os.environ)
+    p._coreset = coreset
+    p._lines = queue.Queue()
+
+    def pump(stream, q):
+        for line in stream:
+            q.put(line)
+        q.put(None)            # EOF sentinel
+
+    t = threading.Thread(target=pump, args=(p.stdout, p._lines), daemon=True)
+    t.start()
+    return p
+
+
+def _read_line(p: subprocess.Popen, timeout_s: float) -> str:
+    import queue
+    try:
+        line = p._lines.get(timeout=timeout_s)
+    except queue.Empty:
+        raise RuntimeError(
+            f"serve{getattr(p, '_coreset', '?')} hung (> {timeout_s:.0f}s)")
+    if line is None:
+        raise RuntimeError("serve process died")
+    return line
 
 
 def _wait_ready(p: subprocess.Popen) -> subprocess.Popen:
     while True:
-        line = p.stdout.readline()
-        if not line:
-            raise RuntimeError("serve process died before READY")
-        if line.strip() == "READY":
+        if _read_line(p, _RUN_TIMEOUT_S).strip() == "READY":
             return p
 
 
@@ -240,7 +272,11 @@ def _spawn_servers(*coresets: list[int]) -> list[subprocess.Popen]:
     """Start all servers first, then wait for READY: session startup +
     (untimed) warmup overlap instead of serializing ~1 min per JVM."""
     procs = [_start_server(cs) for cs in coresets]
-    return [_wait_ready(p) for p in procs]
+    try:
+        return [_wait_ready(p) for p in procs]
+    except Exception:
+        _close_servers(*procs)
+        raise
 
 
 def _server_send(p: subprocess.Popen, n: int, start: int = 0) -> None:
@@ -250,10 +286,7 @@ def _server_send(p: subprocess.Popen, n: int, start: int = 0) -> None:
 
 def _server_recv(p: subprocess.Popen) -> tuple[float, int]:
     while True:
-        line = p.stdout.readline()
-        if not line:
-            raise RuntimeError("serve process died mid-run")
-        parts = line.split()
+        parts = _read_line(p, _RUN_TIMEOUT_S).split()
         if parts and parts[0] == "T":
             return float(parts[1]), int(parts[2])
 
@@ -271,6 +304,10 @@ def _close_servers(*procs: subprocess.Popen) -> None:
         except Exception:
             pass
         p.terminate()
+        try:
+            p.wait(timeout=10)
+        except Exception:
+            p.kill()           # a hung JVM ignores SIGTERM
 
 
 def phase_multijvm() -> None:
@@ -290,9 +327,13 @@ def phase_multijvm() -> None:
         if total > CPUS or total < 2:
             continue
         half = total // 2
-        single, dual_a, dual_b = _spawn_servers(
-            list(range(total)), list(range(half)), list(range(half, total)))
         singles, duals = [], []
+        try:
+            single, dual_a, dual_b = _spawn_servers(
+                list(range(total)), list(range(half)), list(range(half, total)))
+        except RuntimeError as e:
+            print(f"bench multijvm[{total}]: {e}; skipping", file=sys.stderr)
+            continue
         try:
             for _ in range(reps):
                 t_s, _n = _server_run(single, N_URLS)
@@ -303,8 +344,13 @@ def phase_multijvm() -> None:
                 _server_recv(dual_a)
                 _server_recv(dual_b)
                 duals.append(round(time.perf_counter() - t0, 2))
+        except RuntimeError as e:
+            # hung JVM mid-config: keep completed reps, skip the rest
+            print(f"bench multijvm[{total}]: {e}", file=sys.stderr)
         finally:
             _close_servers(single, dual_a, dual_b)
+        if not singles or not duals:
+            continue
         out[str(total)] = {
             "single_jvm_s": min(singles), "dual_jvm_s": min(duals),
             "singles": singles, "duals": duals,
@@ -326,15 +372,33 @@ def main() -> None:
     pairs, scheduled = [], None
     base_srv, full_srv = _spawn_servers(
         list(range(BASE_CORES)), list(range(FULL_CORES)))
+    respawns = 0
     try:
         for _ in range(2 * ROUNDS):
-            tb, sb = _server_run(base_srv, N_URLS)
-            tf, sf_ = _server_run(full_srv, N_URLS)
+            try:
+                tb, sb = _server_run(base_srv, N_URLS)
+                tf, sf_ = _server_run(full_srv, N_URLS)
+            except RuntimeError as e:
+                # hung/dead serve JVM: drop this pair, give the phase ONE
+                # fresh pair of sessions, keep what's already measured
+                print(f"bench: {e}; respawning serve pair", file=sys.stderr)
+                _close_servers(base_srv, full_srv)
+                if respawns >= 1:
+                    break
+                respawns += 1
+                try:
+                    base_srv, full_srv = _spawn_servers(
+                        list(range(BASE_CORES)), list(range(FULL_CORES)))
+                except RuntimeError:
+                    break
+                continue
             assert sb == sf_, "scaling runs must agree"
             scheduled = sb
             pairs.append((tb, tf))
     finally:
         _close_servers(base_srv, full_srv)
+    if not pairs:
+        raise RuntimeError("no completed scaling pairs (host hung)")
     base_ts = [b for b, _ in pairs]
     full_ts = [f for _, f in pairs]
     ratio = FULL_CORES / BASE_CORES
