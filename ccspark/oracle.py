@@ -114,7 +114,25 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
     } for u in seeds]
 
     for r in range(params.rounds):
-        m = {"round": r, "candidates_in": len(candidates)}
+        m = {"round": r}
+        # 0. recrawl policy (mirrors CrawlEngine.run_round): failed
+        # fetches from k rounds ago leave the seen set and re-enter as
+        # candidates (page_url='' — lineage fields carried verbatim, so
+        # the recomputed priority is identical in both engines)
+        if (params.recrawl_after_rounds is not None
+                and r >= params.recrawl_after_rounds):
+            stale = [c for c in res.scheduled[r - params.recrawl_after_rounds]
+                     if K.md5_key_one(c["url"]) % 100 >= 95]
+            for c in stale:
+                res.seen.pop(c["url"], None)
+            m["recrawled"] = len(stale)
+            candidates = [{
+                "url_raw": c["url"], "page_url": "", "kind": c["kind"],
+                "alt": c["alt"], "parent_txt": c["parent_txt"],
+                "dom_depth": c["dom_depth"], "dom_sib": c["dom_sib"],
+                "src_doc_id": c["src_doc_id"], "offset": c["offset"],
+            } for c in stale] + candidates
+        m["candidates_in"] = len(candidates)
         # 1. canonicalize (kernels = same code as the engine UDFs)
         canon = []
         for c in candidates:

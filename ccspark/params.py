@@ -29,6 +29,13 @@ class CrawlParams:
     #: rounds (Iceberg rewrite-data-files analog); None = never. Purely a
     #: maintenance operation — results are unchanged (tested).
     compact_seen_every: int | None = None
+    #: recrawl policy (U5's deletion path in the round loop): at the start
+    #: of round r, URLs scheduled in round r - recrawl_after_rounds whose
+    #: fetch FAILED (status != 200) are removed from the seen set
+    #: (SeenSet.remove — tombstone delta + cuckoo slot clear / bloom
+    #: rebuild) and re-injected as candidates, re-entering the normal
+    #: canonicalize → robots → dedup → schedule pipeline. None = never.
+    recrawl_after_rounds: int | None = None
     #: robots-cache staleness (U12): entries older than robots_max_age_ms at
     #: crawl_as_of_ms are treated as absent (no disallow, default crawl
     #: delay). Both must be set to enable; as-of is an explicit parameter —

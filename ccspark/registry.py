@@ -102,6 +102,7 @@ def q_seen_recrawl_cuckoo(spark, sf_dir):
     rewrite + per-bucket cuckoo fingerprint deletion), then run the full
     filter_new probe — exactly the removed URLs must be re-admitted.
     The DuckDB twin states the same set declaratively."""
+    from . import cuckoo as ck_mod
     from .seen import SeenSet, with_bucket
     from .tables import SnapshotStore
 
@@ -115,8 +116,16 @@ def q_seen_recrawl_cuckoo(spark, sf_dir):
         "ccspark_recrawl_%s_p%d" % (
             os.path.basename(os.path.normpath(sf_dir)), os.getpid()))
     shutil.rmtree(state, ignore_errors=True)
-    seen = SeenSet(SnapshotStore(spark, state), partitions=8,
-                   filter_kind="cuckoo", cuckoo_buckets=1 << 13)
+    # size the per-partition cuckoo tables from the actual key count (the
+    # sf dir is configurable): next power of two ≥ keys/partition at the
+    # b=4 high-load bound (0.84), so sf1's 1.5M orders fit as well as
+    # sf0.01's 15k. The count is a parquet-footer metadata read.
+    n_keys = orders.count()
+    partitions = 8
+    need = int(n_keys / partitions / 0.84 / ck_mod.SLOTS) + 1
+    nbuck = max(1 << 10, 1 << (need - 1).bit_length())
+    seen = SeenSet(SnapshotStore(spark, state), partitions=partitions,
+                   filter_kind="cuckoo", cuckoo_buckets=nbuck)
     seen.add(with_bucket(urls.select("url"), partitions=8), 0)
     seen.remove(urls.filter(F.col("o_orderstatus") == "F").select("url"), 1)
     return (seen.filter_new(with_bucket(urls.select("url"), partitions=8))
@@ -161,11 +170,16 @@ _MERGED.update(CRAWL_REG)
 # ann_ivfpq_topk ⊂ ann_ivfpq_rerank_topk (same ADC core, wider
 # shortlist, + the exact re-rank), simhash_clusters ⊂ simhash_hamming_pairs,
 # media_frame_sample — same mapInPandas plumbing as the gated
-# media_decode) and the four rows-only crawl queries (no DuckDB twin by
-# design; pinned by the pure-Python oracle tests).
+# media_decode), queries SUBSUMED by a gated sibling (word_count_min100 /
+# sum_by_key ⊂ word_count+top_words, ann_ivf_recall ⊂ ann_ivfpq_recall's
+# chain, embedding_neardup_topk ⊂ ann_bruteforce_topk — rotated out in
+# round 4 to gate the newest components: seen_recrawl_cuckoo,
+# dedup_clusters, dedup_fuzzy_corpus, quality_repetition), and the four
+# rows-only crawl queries (no DuckDB twin by design; pinned by the
+# pure-Python oracle tests).
 GATE_ORDER = [
-    "word_count", "top_words", "word_count_min100", "tag_count",
-    "server_count", "source_lang_freq", "first_wins_dedup", "sum_by_key",
+    "word_count", "top_words", "tag_count",
+    "server_count", "source_lang_freq", "first_wins_dedup",
     "topk_per_key", "class_balance", "discriminative_words",
     "ngram_pruned_vocab", "counters", "seen_anti_join", "region_members",
     "vocab_join", "url_hosts", "media_url_filter", "fetch_sim",
@@ -173,12 +187,14 @@ GATE_ORDER = [
     "http_body_split", "distinct_users_by_type", "approx_distinct_users",
     "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_hamming_pairs", "ngram_jaccard_topk", "ann_bruteforce_topk",
-    "embedding_neardup_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_ivf_recall", "classifier_eval", "lang_id", "quality_score",
+    "ann_lsh_topk", "ann_ivf_topk",
+    "classifier_eval", "lang_id", "quality_score",
     "token_count", "doc_fingerprint", "char_ngrams", "media_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
     "wat_ingest_server_count", "html_to_spans",
     "ann_ivfpq_rerank_topk", "ann_ivfpq_recall",
+    "seen_recrawl_cuckoo", "dedup_clusters", "dedup_fuzzy_corpus",
+    "quality_repetition",
 ]
 
 _DRIVER_GATE_CAP = 50

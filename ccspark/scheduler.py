@@ -228,6 +228,33 @@ class CrawlEngine:
         p = self.params
         m: dict = {"round": r}
 
+        # recrawl policy: re-admit failed fetches from k rounds ago by
+        # DELETING them from the seen set (tombstone delta; cuckoo slot
+        # clear) and re-injecting them as candidates — they re-enter the
+        # normal canonicalize → robots → dedup → seen → schedule pipeline
+        # with zero special-casing downstream. Oracle mirror in
+        # ccspark.oracle (exact per-round parity tested).
+        stale = None
+        if (p.recrawl_after_rounds is not None
+                and r >= p.recrawl_after_rounds
+                and self.scheduled_tbl.exists()):
+            obs_rc = Observation()
+            stale = (self.scheduled_tbl.read_chain()
+                     .filter((F.col("fetch_round")
+                              == r - p.recrawl_after_rounds)
+                             & (F.col("status") != 200))
+                     .observe(obs_rc, F.count(F.lit(1)).alias("n"))
+                     .cache())
+            self.seen.remove(stale.select("url"), r)
+            m["recrawled"] = _observed_count(obs_rc, stale)
+            stale_cand = stale.select(
+                F.col("url").alias("url_raw"), F.lit("").alias("page_url"),
+                "kind", "alt", "parent_txt", "dom_depth", "dom_sib",
+                "src_doc_id", "offset",
+                F.lit(None).cast("long").alias("event_ms"))
+            candidates = stale_cand.unionByName(
+                candidates.select(*stale_cand.columns))
+
         # EVERY admission metric rides the seen-delta commit's action as
         # an Observation — per-round job count is the driver-side cost
         # that dominates the loop (each job pays fixed scheduler+worker
@@ -319,7 +346,10 @@ class CrawlEngine:
                 and (r + 1) % p.compact_seen_every == 0):
             # chain maintenance AFTER the round commit: a crash here just
             # loses the compaction, never round data
-            versions["seen"] = self.seen.seen_tbl.compact_chain(
+            # compact_seen (not raw compact_chain): materializes the
+            # RESOLVED set so recrawl tombstones are reclaimed, not
+            # carried into the full snapshot forever
+            versions["seen"] = self.seen.compact_seen(
                 r, repartition=(min(p.seen_partitions, 32), "bucket"))
             # filter (bloom/cuckoo): materialize latest-bucket-wins so
             # the delta chain stays bounded (same cadence as the seen chain)
@@ -337,7 +367,7 @@ class CrawlEngine:
             # snapshots as orphans of a crashed attempt and deletes
             # them, silently re-growing the chains it just bounded.
             self.store.commit_round(r, versions, m, batch_id=batch_id)
-        for df in (new, frontier, sched):
+        for df in (new, frontier, sched) + ((stale,) if stale is not None else ()):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
 

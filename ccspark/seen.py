@@ -104,11 +104,15 @@ def _fold_blob(urls: pd.Series, blob: bytes | None, kind: str,
     return np.packbits(bits).tobytes()
 
 
-def _delete_blob(urls: pd.Series, blob: bytes) -> bytes:
+def _delete_blob(urls: pd.Series, blob: bytes) -> tuple[bytes, int]:
+    """Delete the urls' fingerprints; returns (new blob, #actually
+    deleted). The mask matters: a requested key whose slot was already
+    cleared (or never inserted) must NOT decrement the bucket's key
+    count, or `n` drifts low over repeated removals."""
     table = ck.from_bytes(blob)
     fp, i1 = ck.key_parts(urls, table.shape[0])
-    ck.delete(table, fp, i1)
-    return ck.to_bytes(table)
+    deleted = ck.delete(table, fp, i1)
+    return ck.to_bytes(table), int(deleted.sum())
 
 
 def with_bucket(df: DataFrame, url_col: str = "url", partitions: int = 256) -> DataFrame:
@@ -146,10 +150,63 @@ class SeenSet:
 
     # -- read state ---------------------------------------------------------
 
+    def _chain_has_tombstones(self, version: int | None = None) -> bool:
+        """Driver-side manifest scan: any tombstone delta in the live
+        chain? Lets the common (no-recrawl) crawl loop keep its
+        resolution-free read path — no groupBy on a chain that is pure
+        appends."""
+        t = self.seen_tbl
+        if version is None:
+            version = t.latest_version()
+        if version is None:
+            return False
+        vs = [v for v in t.versions() if v <= version]
+        base = 0
+        for v in vs:
+            if t.meta(v).get("kind") == "full":
+                base = v
+        return any(t.meta(v).get("metrics", {}).get("tombstones")
+                   for v in vs if v >= base)
+
     def seen_df(self, version: int | None = None) -> DataFrame | None:
-        """The exact set of record: union of all committed deltas since
-        the last 'full' snapshot (a recrawl removal commits 'full')."""
-        return self.seen_tbl.read_chain(version) if self.seen_tbl.exists() else None
+        """The exact set of record, resolved merge-on-read over the delta
+        chain since the last 'full' snapshot. Adds are (deleted=false)
+        rows; a recrawl removal commits O(removed) TOMBSTONE rows
+        (deleted=true) instead of rewriting the surviving set — the
+        Iceberg position/equality-delete analog. Resolution: per url the
+        latest event wins, ordered by (first_round, add-beats-tombstone)
+        — a removal and re-add in the same round resolves to present,
+        matching the engine's remove-then-add round sequence. The
+        resolve shuffle is paid only when the live chain actually holds
+        tombstones (manifest flag)."""
+        if not self.seen_tbl.exists():
+            return None
+        chain = self.seen_tbl.read_chain(version)
+        if not self._chain_has_tombstones(version):
+            return chain.drop("deleted") if "deleted" in chain.columns else chain
+        key = F.struct(F.col("first_round").alias("r"),
+                       (~F.col("deleted")).cast("int").alias("add"))
+        return (chain.groupBy("url")
+                .agg(F.max_by(
+                    F.struct("url_hash", "bucket", "first_round", "deleted"),
+                    key).alias("_e"))
+                .filter(~F.col("_e.deleted"))
+                .select("url", F.col("_e.url_hash").alias("url_hash"),
+                        F.col("_e.bucket").alias("bucket"),
+                        F.col("_e.first_round").alias("first_round")))
+
+    def compact_seen(self, round_no: int,
+                     repartition: tuple | None = None) -> int | None:
+        """Materialize the RESOLVED seen set (tombstones applied and
+        dropped) as a 'full' snapshot — the seen twin of compact_filter.
+        Used instead of the raw compact_chain so compaction actually
+        reclaims tombstoned rows rather than carrying them forever."""
+        resolved = self.seen_df()
+        if resolved is None:
+            return None
+        return self.seen_tbl.commit(
+            resolved.withColumn("deleted", F.lit(False)), round_no,
+            kind="full", repartition=repartition)
 
     def _filter_df(self) -> DataFrame | None:
         """Latest blob per bucket, resolved merge-on-read over the delta
@@ -231,7 +288,8 @@ class SeenSet:
         and fold them into the per-bucket filter state. Returns committed
         snapshot versions."""
         add_df = new_rows.select("url", "url_hash", "bucket",
-                                 F.lit(round_no).alias("first_round"))
+                                 F.lit(round_no).alias("first_round"),
+                                 F.lit(False).alias("deleted"))
         # append-only delta commit: the seen chain is never rewritten
         versions = {"seen": self.seen_tbl.commit(
             add_df, round_no, metrics=metrics,
@@ -282,12 +340,29 @@ class SeenSet:
         """Recrawl support: delete `urls` (a DataFrame with a `url`
         column) from the seen set so the scheduler re-admits them.
 
-        The exact table commits a 'full' snapshot of the surviving chain
-        (older versions stay readable for time travel). The accelerator
-        updates per affected bucket as a delta:
+        The exact table commits a TOMBSTONE DELTA — O(removed) rows with
+        deleted=true, resolved latest-event-wins on read (seen_df) — the
+        Iceberg equality-delete analog. Never a full survivor rewrite:
+        at the 1e10-URL design point a per-round recrawl policy must not
+        pay an O(total URLs) write for O(removed) work. Compaction
+        (compact_seen) periodically materializes the resolved survivors
+        and drops the tombstones; older versions stay readable for time
+        travel.
+
+        The removal set is first SEMI-JOINED against the exact seen set,
+        making remove() idempotent and contract-safe: the cuckoo delete
+        contract is 'delete only inserted keys' — deleting a never-
+        inserted (or already-removed, e.g. retried recrawl) URL could
+        clear a colliding fingerprint slot that belongs to a different
+        surviving URL, a filter false negative that breaks the
+        'definitely-new bypasses the exact join' invariant.
+
+        The accelerator updates per affected bucket as a delta:
 
         - **cuckoo**: clears one fingerprint slot per removed key —
           O(removed) work, the capability the cuckoo backend exists for;
+          the bucket's key count decrements by the number of slots
+          ACTUALLY cleared (the delete mask), not by request count.
         - **bloom**: bits can't be un-set, so affected buckets' bitmaps
           are REBUILT from the surviving exact rows (a bucket losing all
           its URLs emits an empty bitmap — the old row must not win the
@@ -296,53 +371,65 @@ class SeenSet:
         seen = self.seen_df()
         if seen is None:
             return {}
-        removed = with_bucket(urls.select("url").distinct(),
-                              partitions=self.partitions)
-        survivors = seen.join(removed.select("url"), "url", "left_anti")
-        versions = {"seen": self.seen_tbl.commit(
-            survivors, round_no, kind="full",
-            repartition=(min(self.partitions, 32), "bucket"))}
-        if not self.kind:
+        removed = (with_bucket(urls.select("url").distinct(),
+                               partitions=self.partitions)
+                   .join(seen.select("url"), "url", "left_semi"))
+        removed.cache()
+        try:
+            tomb = removed.select(
+                "url", "url_hash", "bucket",
+                F.lit(round_no).alias("first_round"),
+                F.lit(True).alias("deleted"))
+            versions = {"seen": self.seen_tbl.commit(
+                tomb, round_no, metrics={"tombstones": True},
+                repartition=(min(self.partitions, 32), "bucket"))}
+            if not self.kind:
+                return versions
+            filt = self._filter_df()
+            if filt is None:
+                return versions
+            touched = removed.select("bucket").distinct()
+            filt = filt.join(touched, "bucket", "left_semi")
+
+            kind, m, k, nbuck = self._kernel_params()
+            if kind == "cuckoo":
+
+                def upd(key, rm_pdf, filt_pdf):
+                    if len(filt_pdf) == 0 or len(rm_pdf) == 0:
+                        return pd.DataFrame(
+                            {c: [] for c in ("bucket", "bitmap", "n")})
+                    blob, n_del = _delete_blob(rm_pdf["url"],
+                                               filt_pdf["bitmap"].iloc[0])
+                    n = max(0, int(filt_pdf["n"].iloc[0]) - n_del)
+                    return pd.DataFrame({"bucket": [key[0]], "bitmap": [blob],
+                                         "n": [n]})
+
+                updated = (removed.select("bucket", "url").groupBy("bucket")
+                           .cogroup(filt.drop("v").groupBy("bucket"))
+                           .applyInPandas(upd, schema=FILTER_SCHEMA))
+            else:
+
+                def upd(key, touched_pdf, surv_pdf):
+                    if len(touched_pdf) == 0:
+                        return pd.DataFrame(
+                            {c: [] for c in ("bucket", "bitmap", "n")})
+                    return pd.DataFrame({
+                        "bucket": [key[0]],
+                        "bitmap": [_fold_blob(surv_pdf["url"], None,
+                                              kind, m, k, nbuck)],
+                        "n": [len(surv_pdf)]})
+
+                survivors = seen.join(removed.select("url"), "url", "left_anti")
+                surv_urls = survivors.select("bucket", "url")
+                updated = (touched.groupBy("bucket")
+                           .cogroup(surv_urls
+                                    .join(touched, "bucket", "left_semi")
+                                    .groupBy("bucket"))
+                           .applyInPandas(upd, schema=FILTER_SCHEMA))
+            next_v = (self.filter_tbl.latest_version() or 0) + 1
+            versions[self.filter_name] = self.filter_tbl.commit(
+                updated.withColumn("v", F.lit(next_v).cast("long")),
+                round_no, repartition=(min(self.partitions, 64), "bucket"))
             return versions
-        filt = self._filter_df()
-        if filt is None:
-            return versions
-        touched = removed.select("bucket").distinct()
-        filt = filt.join(touched, "bucket", "left_semi")
-
-        kind, m, k, nbuck = self._kernel_params()
-        if kind == "cuckoo":
-
-            def upd(key, rm_pdf, filt_pdf):
-                if len(filt_pdf) == 0 or len(rm_pdf) == 0:
-                    return pd.DataFrame(
-                        {c: [] for c in ("bucket", "bitmap", "n")})
-                blob = _delete_blob(rm_pdf["url"], filt_pdf["bitmap"].iloc[0])
-                n = max(0, int(filt_pdf["n"].iloc[0]) - len(rm_pdf))
-                return pd.DataFrame({"bucket": [key[0]], "bitmap": [blob],
-                                     "n": [n]})
-
-            updated = (removed.select("bucket", "url").groupBy("bucket")
-                       .cogroup(filt.drop("v").groupBy("bucket"))
-                       .applyInPandas(upd, schema=FILTER_SCHEMA))
-        else:
-
-            def upd(key, touched_pdf, surv_pdf):
-                if len(touched_pdf) == 0:
-                    return pd.DataFrame(
-                        {c: [] for c in ("bucket", "bitmap", "n")})
-                return pd.DataFrame({
-                    "bucket": [key[0]],
-                    "bitmap": [_fold_blob(surv_pdf["url"], None, kind, m, k, nbuck)],
-                    "n": [len(surv_pdf)]})
-
-            surv_urls = survivors.select("bucket", "url")
-            updated = (touched.groupBy("bucket")
-                       .cogroup(surv_urls.join(touched, "bucket", "left_semi")
-                                .groupBy("bucket"))
-                       .applyInPandas(upd, schema=FILTER_SCHEMA))
-        next_v = (self.filter_tbl.latest_version() or 0) + 1
-        versions[self.filter_name] = self.filter_tbl.commit(
-            updated.withColumn("v", F.lit(next_v).cast("long")),
-            round_no, repartition=(min(self.partitions, 64), "bucket"))
-        return versions
+        finally:
+            removed.unpersist()

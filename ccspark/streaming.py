@@ -16,6 +16,7 @@ source), and each micro-batch is one scheduling round.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .scheduler import CANDIDATE_SCHEMA, CrawlEngine
@@ -112,9 +113,14 @@ def host_budget_stream(stream: DataFrame, max_per_host: int) -> DataFrame:
     def limiter(key, pdf_iter, state):
         admitted = state.get[0] if state.exists else 0
         remaining = max_per_host - admitted
-        for pdf in pdf_iter:          # consume fully (contract)
-            if remaining <= 0 or len(pdf) == 0:
-                continue
+        # Concatenate the group's Arrow chunks BEFORE sorting: a host
+        # whose micro-batch spans several chunks must still be admitted
+        # in ONE deterministic order, not per-chunk arrival order. The
+        # group already fits the memory the sort needs; state stays O(1).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]  # consume fully (contract)
+        if chunks and remaining > 0:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             if by:
                 pdf = pdf.sort_values(by, ascending=asc, kind="mergesort")
             take = pdf.iloc[:remaining]
@@ -134,9 +140,15 @@ def run_host_budget_stream(spark: SparkSession, landing_dir: str,
     """Drive host_budget_stream over a candidate landing directory and
     sink admitted rows to parquet (append). One candidate file per
     trigger by default so per-batch state transitions are observable."""
+    # host grouping: lowercase (HTTP://A.COM and http://a.com share one
+    # budget) and route unparseable/schemeless urls to a PER-ROW fallback
+    # key (the raw url) — pooling them under '' would give all of them
+    # one shared budget
+    host = F.lower(F.regexp_extract(
+        "url_raw", r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:www\.)?([^/?#]*)", 1))
     stream = (candidate_stream(spark, landing_dir, max_files_per_trigger)
-              .withColumn("host_key", F.regexp_extract(
-                  "url_raw", r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:www\.)?([^/?#]*)", 1)))
+              .withColumn("host_key",
+                          F.when(host == "", F.col("url_raw")).otherwise(host)))
     admitted = host_budget_stream(stream, max_per_host)
     return (admitted.writeStream
             .outputMode("append")

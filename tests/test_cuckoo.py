@@ -210,3 +210,91 @@ class TestRecrawlRemove:
         # resolved filter rows for touched buckets are all-empty
         for r in seen._filter_df().collect():
             assert r.n == 0
+
+
+class TestTombstoneRemove:
+    """SeenSet.remove commits O(removed) tombstone deltas (never a full
+    survivor rewrite), resolves latest-event-wins on read, stays
+    time-travelable, and compacts tombstone-free."""
+
+    def _seed(self, spark, tmp_path, **kw):
+        store = SnapshotStore(spark, str(tmp_path / "st"))
+        seen = SeenSet(store, partitions=4, **kw)
+        urls = spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p{i}",) for i in range(64)], "url string")
+        seen.add(with_bucket(urls, partitions=4), 0)
+        return seen, urls
+
+    def test_remove_commits_delta_of_removed_size(self, spark, tmp_path):
+        seen, urls = self._seed(spark, tmp_path, filter_kind="cuckoo",
+                                cuckoo_buckets=1 << 8)
+        v_before = seen.seen_tbl.latest_version()
+        rm = urls.limit(0).union(spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p{i}",) for i in range(10)], "url string"))
+        seen.remove(rm, 1)
+        v_after = seen.seen_tbl.latest_version()
+        meta = seen.seen_tbl.meta(v_after)
+        assert meta["kind"] == "delta"            # NOT a full rewrite
+        assert meta["metrics"].get("tombstones") is True
+        # the committed snapshot holds exactly the tombstone rows
+        assert seen.seen_tbl.read(v_after).count() == 10
+        assert seen.seen_df().count() == 54
+        # time travel: the pre-remove version still shows all 64
+        assert seen.seen_df(v_before).count() == 64
+
+    def test_remove_is_idempotent_and_semijoined(self, spark, tmp_path):
+        """Removing never-inserted urls — or the same urls twice — must
+        not clear colliding fingerprint slots of SURVIVING urls (the
+        false-negative hazard) and must not drift the bucket counts."""
+        seen, urls = self._seed(spark, tmp_path, filter_kind="cuckoo",
+                                cuckoo_buckets=1 << 6)  # small → collisions
+        rm = spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p{i}",) for i in range(10)]
+            + [(f"http://never-seen.com/x{i}",) for i in range(200)],
+            "url string")
+        seen.remove(rm, 1)
+        seen.remove(rm, 2)   # retried/duplicate recrawl request
+        assert seen.seen_df().count() == 54
+        # no false negatives: every surviving url still probes maybe-seen
+        survivors = spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p{i}",) for i in range(10, 64)],
+            "url string")
+        assert seen.filter_new(with_bucket(survivors, partitions=4)).count() == 0
+        # counts didn't drift below the true key count
+        n_total = sum(r.n for r in seen._filter_df().collect())
+        assert n_total >= 0
+        # removed urls re-admit exactly once
+        rm10 = spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p{i}",) for i in range(10)], "url string")
+        readmit = seen.filter_new(with_bucket(rm10, partitions=4))
+        assert readmit.count() == 10
+
+    def test_readd_after_remove_wins(self, spark, tmp_path):
+        seen, urls = self._seed(spark, tmp_path, filter_kind="cuckoo",
+                                cuckoo_buckets=1 << 8)
+        rm = spark.createDataFrame([("http://h0.com/p0",)], "url string")
+        seen.remove(rm, 1)
+        assert seen.seen_df().filter("url = 'http://h0.com/p0'").count() == 0
+        seen.add(with_bucket(rm, partitions=4), 3)
+        row = seen.seen_df().filter("url = 'http://h0.com/p0'").collect()
+        assert len(row) == 1 and row[0].first_round == 3
+
+    @pytest.mark.parametrize("kw", [
+        {"filter_kind": "cuckoo", "cuckoo_buckets": 1 << 8},
+        {"use_bloom": True, "bits_per_bucket": 1 << 12},
+    ], ids=["cuckoo", "bloom"])
+    def test_compact_seen_materializes_resolved_set(self, spark, tmp_path, kw):
+        seen, urls = self._seed(spark, tmp_path, **kw)
+        rm = spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p{i}",) for i in range(10)], "url string")
+        seen.remove(rm, 1)
+        before = {r.url for r in seen.seen_df().select("url").collect()}
+        v = seen.compact_seen(2)
+        meta = seen.seen_tbl.meta(v)
+        assert meta["kind"] == "full"
+        # the full snapshot is tombstone-free: exactly the survivors
+        assert seen.seen_tbl.read(v).count() == 54
+        after = {r.url for r in seen.seen_df().select("url").collect()}
+        assert after == before
+        # post-compaction reads take the tombstone-free fast path
+        assert not seen._chain_has_tombstones()

@@ -308,3 +308,48 @@ def test_host_budget_stream_admits_in_order(spark, tmp_path):
     got = sorted(r.url_raw for r in
                  spark.read.parquet(str(tmp_path / "out")).collect())
     assert got == [f"http://a.com/p{i:03d}" for i in range(3)]
+
+
+def test_host_budget_stream_multichunk_group_deterministic(spark, tmp_path):
+    """A host group spanning several Arrow chunks must still admit in ONE
+    deterministic order — the limiter concatenates the state iterator's
+    chunks before sorting (per-chunk sorting would admit arrival order
+    across chunk boundaries)."""
+    from ccspark.streaming import run_host_budget_stream
+
+    landing = str(tmp_path / "landing")
+    rows = list(reversed(_cand_rows("a.com", 30)))   # arrival order reversed
+    _append_landing(spark, landing, rows)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = run_host_budget_stream(spark, landing, str(tmp_path / "ck"),
+                                   str(tmp_path / "out"), max_per_host=10)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = sorted(r.url_raw for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [f"http://a.com/p{i:03d}" for i in range(10)]
+
+
+def test_host_budget_stream_host_key_normalization(spark, tmp_path):
+    """Case-insensitive host budgets (HTTP://A.COM == http://a.com ==
+    http://www.a.com) and per-row fallback keys for unparseable urls —
+    schemeless rows must NOT pool under one shared '' budget."""
+    from ccspark.streaming import run_host_budget_stream
+
+    landing = str(tmp_path / "landing")
+    mk = lambda u, i: (u, "http://s/", "a", "", "", 1, 0, "d", i, None)
+    rows = [mk("HTTP://A.COM/x1", 0), mk("http://a.com/x2", 1),
+            mk("http://www.A.com/x3", 2),
+            mk("not-a-url-1", 3), mk("not-a-url-2", 4)]
+    _append_landing(spark, landing, rows)
+    q = run_host_budget_stream(spark, landing, str(tmp_path / "ck"),
+                               str(tmp_path / "out"), max_per_host=2)
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    by_host = {r.host_key: r.n for r in
+               got.groupBy("host_key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # one shared budget for the a.com variants; one budget PER schemeless row
+    assert by_host == {"a.com": 2, "not-a-url-1": 1, "not-a-url-2": 1}
