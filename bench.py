@@ -60,9 +60,60 @@ os.environ.setdefault("CCSPARK_DRIVER_MEM", "64g")
 HEADLINE = [
     "word_count", "sum_by_key", "topk_per_key", "discriminative_words",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_bruteforce_topk", "ann_lsh_topk", "lang_id", "token_count",
+    "simhash_hamming_pairs", "dedup_clusters",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivfpq_rerank_topk",
+    "lang_id", "token_count",
     "doc_fingerprint", "media_decode", "crawl_scheduled_2rounds",
 ]
+
+# Quiet-window raw-CPU throughput per pinned proc count (Mops/s), from
+# the 2026-08-17 controlled sweep (BENCH.md "Why the N=2→8 pairing").
+# The window gate accepts a scaling pair only when the host is currently
+# delivering ≥ GATE_FRAC of this at BOTH levels — r3's 0.780 headline was
+# measured in a window whose own control read 16.6/59.3 (57%/45% of
+# quiet), i.e. the host was the bottleneck, not the plans.
+QUIET_MOPS = {1: 17.6, 2: 29.2, 4: 69.0, 8: 132.5, 16: 254.0,
+              24: 327.0, 32: 411.0}
+GATE_FRAC = float(os.environ.get("CCSPARK_BENCH_GATE_FRAC", "0.85"))
+MIN_ACCEPTED_PAIRS = int(os.environ.get("CCSPARK_BENCH_MIN_ACCEPTED", "4"))
+#: hard wall budget for the gated pair loop — the gate must not wedge the
+#: whole bench on a host that never goes quiet
+PAIR_BUDGET_S = int(os.environ.get("CCSPARK_BENCH_PAIR_BUDGET_S", "3600"))
+
+
+def _quiet_ref(procs: int) -> float:
+    if procs in QUIET_MOPS:
+        return QUIET_MOPS[procs]
+    # conservative linear interpolation on the measured ladder
+    return 15.0 * procs
+
+
+def _cpu_mops(procs: int) -> float:
+    """One quick pinned busy-loop sample of current host CPU delivery at
+    `procs` workers (subset of phase_cpu_control; ~2-4 s when quiet)."""
+    prev = os.sched_getaffinity(0)
+    try:
+        os.sched_setaffinity(0, set(range(procs)))
+        work = 2_000_000
+        t0 = time.perf_counter()
+        with multiprocessing.Pool(procs) as p:
+            p.map(_burn, [work] * procs * 2)
+        dt = time.perf_counter() - t0
+        return procs * 2 * work / dt / 1e6
+    finally:
+        os.sched_setaffinity(0, prev)
+
+
+def _window_probe(*proc_levels: int) -> tuple[bool, dict]:
+    """Is the host currently delivering its cores at every level? Returns
+    (ok, {procs: mops})."""
+    vals = {}
+    ok = True
+    for procs in proc_levels:
+        mops = _cpu_mops(procs)
+        vals[str(procs)] = round(mops, 1)
+        ok = ok and mops >= GATE_FRAC * _quiet_ref(procs)
+    return ok, vals
 
 
 def _session(cores: int, pipeline: bool = False):
@@ -322,28 +373,47 @@ def phase_multijvm() -> None:
     signature that scale-out escapes the ceiling. Runs are interleaved
     single,dual per rep; min per config."""
     reps = int(os.environ.get("CCSPARK_MULTIJVM_REPS", "2"))
+    budget_s = int(os.environ.get("CCSPARK_MULTIJVM_BUDGET_S", "1500"))
     out = {}
     for total in dict.fromkeys((FULL_CORES, 2 * FULL_CORES)):
         if total > CPUS or total < 2:
             continue
         half = total // 2
         singles, duals = [], []
+        accepted_reps, ctls = 0, []
         try:
             single, dual_a, dual_b = _spawn_servers(
                 list(range(total)), list(range(half)), list(range(half, total)))
         except RuntimeError as e:
             print(f"bench multijvm[{total}]: {e}; skipping", file=sys.stderr)
             continue
+        t_cfg = time.perf_counter()
         try:
-            for _ in range(reps):
+            # window-gated like the scaling pairs: the dual config needs
+            # the host to deliver 2×half concurrent cores, so degraded
+            # windows suppress the dual side first and fake a scale-out
+            # penalty (r3's 0.515 at 8 total cores). A rep counts only if
+            # the raw-CPU control cleared the gate before AND after it.
+            while (accepted_reps < reps
+                   and time.perf_counter() - t_cfg < budget_s):
+                pre_ok, pre = _window_probe(total)
+                if not pre_ok:
+                    time.sleep(15)
+                    continue
                 t_s, _n = _server_run(single, N_URLS)
-                singles.append(round(t_s, 2))
                 t0 = time.perf_counter()
                 _server_send(dual_a, N_URLS // 2, 0)
                 _server_send(dual_b, N_URLS // 2, N_URLS // 2)
                 _server_recv(dual_a)
                 _server_recv(dual_b)
-                duals.append(round(time.perf_counter() - t0, 2))
+                t_d = time.perf_counter() - t0
+                post_ok, post = _window_probe(total)
+                ok = pre_ok and post_ok
+                accepted_reps += int(ok)
+                singles.append(round(t_s, 2))
+                duals.append(round(t_d, 2))
+                ctls.append({"accepted": ok, "ctl_pre": pre,
+                             "ctl_post": post})
         except RuntimeError as e:
             # hung JVM mid-config: keep completed reps, skip the rest
             print(f"bench multijvm[{total}]: {e}", file=sys.stderr)
@@ -351,11 +421,53 @@ def phase_multijvm() -> None:
             _close_servers(single, dual_a, dual_b)
         if not singles or not duals:
             continue
+        acc = [i for i, c in enumerate(ctls) if c["accepted"]]
+        idx = acc if acc else range(len(singles))
+        s_best = min(singles[i] for i in idx)
+        d_best = min(duals[i] for i in idx)
         out[str(total)] = {
-            "single_jvm_s": min(singles), "dual_jvm_s": min(duals),
+            "single_jvm_s": s_best, "dual_jvm_s": d_best,
             "singles": singles, "duals": duals,
-            "dual_over_single": round(min(singles) / min(duals), 3)}
+            "rep_gate": ctls, "accepted_reps": len(acc),
+            "dual_over_single": round(s_best / d_best, 3)}
     print(json.dumps(out))
+
+
+def phase_lowmem() -> None:
+    """Spill/robustness evidence: the full 6M-URL pipeline at a
+    CONSTRAINED heap (spark.driver.memory=2g — in local mode the driver
+    heap IS the executor heap) on 8 pinned cores. The 128 GiB sandbox
+    never exercises memory pressure; a 100 TB deployment will. Passing
+    means the round's shuffles complete via spill, not OOM. Reports wall
+    time and the JVM's peak RSS (VmHWM)."""
+    os.environ["CCSPARK_DRIVER_MEM"] = "2g"
+    os.sched_setaffinity(0, set(range(8)))
+    from ccspark.benchflow import schedule_pipeline
+    spark = _session(8, pipeline=True)
+    schedule_pipeline(spark, N_URLS // 20)   # warmup
+    t0 = time.perf_counter()
+    scheduled = schedule_pipeline(spark, N_URLS)
+    dt = time.perf_counter() - t0
+    # peak RSS of the child JVM (local-mode: one java process under us)
+    peak_mb = None
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().split()
+            if int(parts[3]) != me or "java" not in parts[1]:
+                continue
+            with open(f"/proc/{pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmHWM"):
+                        peak_mb = round(int(line.split()[1]) / 1024)
+        except (OSError, ValueError, IndexError):
+            continue
+    print(json.dumps({"t": round(dt, 2), "scheduled": scheduled,
+                      "heap": "2g", "cores": 8,
+                      "jvm_peak_rss_mb": peak_mb}))
 
 
 def main() -> None:
@@ -369,12 +481,29 @@ def main() -> None:
     # scaling. min-over-all-runs per level is also reported: it is the
     # classic estimator but can pair a lucky base window with an hour
     # that never gave the full level a clean window.
-    pairs, scheduled = [], None
+    # WINDOW-GATED matched pairs: before AND after each (base, full) pair
+    # the raw-CPU control is probed at both proc levels; the pair counts
+    # toward the record only if the host delivered ≥ GATE_FRAC of its
+    # quiet-window Mops the whole time. Pairs keep being measured until
+    # MIN_ACCEPTED_PAIRS accept (or the PAIR_BUDGET_S wall cap trips);
+    # rejected pairs are still recorded for transparency. When the probe
+    # says the window is degraded BEFORE a pair, the bench sleeps briefly
+    # instead of burning a 4-minute pipeline run it would have to reject.
+    pairs, pair_meta, scheduled = [], [], None
     base_srv, full_srv = _spawn_servers(
         list(range(BASE_CORES)), list(range(FULL_CORES)))
     respawns = 0
+    t_loop = time.perf_counter()
+    accepted_n = 0
+    closed_probes = 0
     try:
-        for _ in range(2 * ROUNDS):
+        while (accepted_n < MIN_ACCEPTED_PAIRS
+               and time.perf_counter() - t_loop < PAIR_BUDGET_S):
+            pre_ok, pre = _window_probe(BASE_CORES, FULL_CORES)
+            if not pre_ok and closed_probes < 20:
+                closed_probes += 1
+                time.sleep(15)
+                continue
             try:
                 tb, sb = _server_run(base_srv, N_URLS)
                 tf, sf_ = _server_run(full_srv, N_URLS)
@@ -392,32 +521,48 @@ def main() -> None:
                 except RuntimeError:
                     break
                 continue
+            post_ok, post = _window_probe(BASE_CORES, FULL_CORES)
             assert sb == sf_, "scaling runs must agree"
             scheduled = sb
+            ok = pre_ok and post_ok
+            accepted_n += int(ok)
             pairs.append((tb, tf))
+            pair_meta.append({"accepted": ok, "ctl_pre": pre,
+                              "ctl_post": post})
     finally:
         _close_servers(base_srv, full_srv)
     if not pairs:
         raise RuntimeError("no completed scaling pairs (host hung)")
+    accepted = [p for p, meta in zip(pairs, pair_meta) if meta["accepted"]]
+    gate_satisfied = len(accepted) >= 2
+    # estimators run over the ACCEPTED pairs when the gate produced
+    # enough of them; otherwise over everything, flagged ungated
+    est_pairs = accepted if gate_satisfied else pairs
     base_ts = [b for b, _ in pairs]
     full_ts = [f for _, f in pairs]
     ratio = FULL_CORES / BASE_CORES
-    best_b, best_f = min(pairs, key=lambda bf: bf[0] + 4 * bf[1])
+    best_b, best_f = min(est_pairs, key=lambda bf: bf[0] + 4 * bf[1])
     base_t, full_t = best_b, best_f
     tp_base = N_URLS / base_t
     tp_full = N_URLS / full_t
     eff = tp_full / (ratio * tp_base)
-    eff_minmin = (min(base_ts) / min(full_ts)) / ratio
+    eff_minmin = (min(b for b, _ in est_pairs)
+                  / min(f for _, f in est_pairs)) / ratio
     # median of per-pair ratios: immune to the pair-selection bias that
     # lets the b+4f estimator pick a lucky-full/degraded-base pair and
     # report >1 (r2: 1.078) — the headline is min(matched-pair, median).
-    per_pair = sorted((b / f) / ratio for b, f in pairs)
+    per_pair = sorted((b / f) / ratio for b, f in est_pairs)
     mid = len(per_pair) // 2
     eff_median = (per_pair[mid] if len(per_pair) % 2
                   else (per_pair[mid - 1] + per_pair[mid]) / 2)
     multijvm = _sub("--phase", "multijvm")
     cpu_ctl = _sub("--phase", "cpu_control")
     jobs = _sub("--phase", "jobs")
+    try:
+        lowmem = _sub("--phase", "lowmem")
+    except subprocess.CalledProcessError as e:
+        # an OOM here is itself a (bad) result — record it, don't crash
+        lowmem = {"error": (e.stderr or "")[-300:]}
     qres = _sub("--phase", "queries")
     queries, query_runs = qres["queries"], qres["runs"]
     ivf_recall = qres.get("_ivf_recall")
@@ -440,10 +585,21 @@ def main() -> None:
         "scaling_efficiency_matched_pair": round(eff, 3),
         "scaling_efficiency_median_pairs": round(eff_median, 3),
         "scaling_efficiency_minmin": round(eff_minmin, 3),
+        "window_gate": {
+            "gate_frac": GATE_FRAC,
+            "quiet_ref_mops": {str(BASE_CORES): _quiet_ref(BASE_CORES),
+                               str(FULL_CORES): _quiet_ref(FULL_CORES)},
+            "accepted_pairs": len(accepted),
+            "total_pairs": len(pairs),
+            "gate_satisfied": gate_satisfied,
+            "skipped_degraded_probes": closed_probes,
+        },
         "pair_times": [[round(b, 1), round(f, 1)] for b, f in pairs],
+        "pair_gate": pair_meta,
         "multijvm": multijvm,
         "cpu_control_mops": cpu_ctl,
         "jobs_per_round": jobs["jobs_per_round"],
+        "lowmem_2g_8c": lowmem,
         "query_runs": query_runs,
         "ivf_recall_at_k": ivf_recall,
         "ivfpq_recall_at_k": ivfpq_recall,
@@ -499,6 +655,22 @@ def _write_bench_md(r: dict, t_base: float,
         f"median of per-pair ratios {r['scaling_efficiency_median_pairs']:.3f}, "
         f"unpaired min/min {r['scaling_efficiency_minmin']:.3f}.",
         "",
+        f"**Window gate** (new in r4): every pair is bracketed by raw-CPU "
+        f"control probes at both levels; a pair counts only if the host "
+        f"delivered ≥{r['window_gate']['gate_frac']:.0%} of its "
+        f"quiet-window Mops ({r['window_gate']['quiet_ref_mops']}) before "
+        f"AND after. Accepted {r['window_gate']['accepted_pairs']}/"
+        f"{r['window_gate']['total_pairs']} measured pairs"
+        f" (skipped {r['window_gate']['skipped_degraded_probes']} degraded "
+        "pre-probes without burning a run); the estimators above run over "
+        "the accepted pairs"
+        + ("" if r['window_gate']['gate_satisfied'] else
+           " — GATE NOT SATISFIED this run (too few accepted pairs; "
+           "estimators fell back to all pairs)") + ". Per-pair control "
+        "values are in BENCH_r*.json `pair_gate`. This is the r3-verdict "
+        "fix: the 0.780 record was measured in a window whose own control "
+        "read 16.6/59.3 Mops (45-57% of quiet) — the host, not the plans.",
+        "",
         f"Same-run host-window control: the raw-CPU busy-loop scaled 2→8 "
         f"at {ctl_eff:.2f} ({ctl_base}/{ctl_full} Mops/s; quiet-window "
         "reference 29/133, i.e. ~1.13). When the window's own CPU "
@@ -525,12 +697,16 @@ def _write_bench_md(r: dict, t_base: float,
         "dual side first — compare windows via the control before "
         "reading this table:",
         "",
-        "| total cores | 1 JVM wall s | 2 JVMs wall s | 2-JVM speedup |",
-        "|---|---|---|---|",
+        "Reps are window-gated like the scaling pairs (control probe "
+        "before and after each rep; min over ACCEPTED reps):",
+        "",
+        "| total cores | 1 JVM wall s | 2 JVMs wall s | 2-JVM speedup | accepted reps |",
+        "|---|---|---|---|---|",
     ] + [
         f"| {total} | {v['single_jvm_s']} (runs {v['singles']}) | "
         f"{v['dual_jvm_s']} (runs {v['duals']}) | "
-        f"{v['dual_over_single']:.3f} |"
+        f"{v['dual_over_single']:.3f} | {v.get('accepted_reps', '?')}/"
+        f"{len(v['singles'])} |"
         for total, v in sorted(r["multijvm"].items(), key=lambda kv: int(kv[0]))
     ] + [
         "",
@@ -563,6 +739,20 @@ def _write_bench_md(r: dict, t_base: float,
         "runtime. The headline pairing is therefore the largest 4x "
         "window inside both linear regimes.",
         "",
+        "## Constrained-memory (spill) control",
+        "",
+        f"The same {N_URLS:,}-URL pipeline on 8 pinned cores with a "
+        "**2 GiB** JVM heap (local mode: driver heap = executor heap; "
+        "the 128 GiB sandbox otherwise never exercises memory pressure): "
+        + (f"completed in **{r['lowmem_2g_8c']['t']} s** "
+           f"({r['lowmem_2g_8c']['scheduled']:,} URLs scheduled, JVM peak "
+           f"RSS {r['lowmem_2g_8c'].get('jvm_peak_rss_mb')} MiB) — the "
+           "round's sort/shuffle/politeness stages complete via spill "
+           "rather than OOM, the behavior a 100 TB deployment's "
+           "memory-pressured executors rely on."
+           if "t" in r.get("lowmem_2g_8c", {}) else
+           f"FAILED: {r.get('lowmem_2g_8c')}"),
+        "",
         f"Spark jobs per scheduling round (3-round fixture crawl, AQE "
         f"off as the engine runs): {r['jobs_per_round']} — every "
         "admission metric rides the round's commit actions as "
@@ -574,10 +764,11 @@ def _write_bench_md(r: dict, t_base: float,
         f"ANN recall@{5} vs exact brute-force top-k at sf{r['sf']}: "
         f"IVF probe **{r['ivf_recall_at_k']}** (deterministic "
         "3-iteration spherical k-means coarse quantizer, NPROBE=2 of 16 "
-        f"cells); IVFPQ ADC **{r['ivfpq_recall_at_k']}** (same coarse "
-        "path + 8×16-code product quantization, 32 bits/vector — the "
-        "recall cost of the compression that removes the raw-vector "
-        "memory wall at 100 TB); IVFPQ + exact re-rank "
+        f"cells); IVFADC **{r['ivfpq_recall_at_k']}** (same coarse "
+        "path + 16×256-code product quantization over the COARSE RESIDUAL "
+        "nv − ĉ(cell) — r4 change, the reference's IndexingManager "
+        "design; 16 bytes/vector — 32× compression — removes the "
+        "raw-vector memory wall at 100 TB); IVFADC + exact re-rank "
         f"**{r['ivfpq_rerank_recall_at_k']}** (ADC shortlist of 32·k "
         "= 160 candidates — still narrower than the ~245-vector probe "
         "sets, so PQ does real filtering — raw vectors touched only for "
@@ -614,6 +805,8 @@ if __name__ == "__main__":
                          sys.argv[sys.argv.index("--coreset") + 1].split(",")])
         elif phase == "jobs":
             phase_jobs()
+        elif phase == "lowmem":
+            phase_lowmem()
         elif phase == "multijvm":
             phase_multijvm()
         else:

@@ -437,64 +437,113 @@ SQL_CLASSIFIER_EVAL = (
 
 
 # ---------------------------------------------------------------------------
-# IVFPQ: the reference's actual index is IVF + product quantization
+# IVFADC: the reference's actual index is IVF + product quantization
 # (IndexingManage.java:68-80: 8192 coarse centroids, 64-dim, 8-bit PQ
-# codes); this is the fixture-scale analog — coarse = the k-means IVF
-# above (N_CELLS cells, NPROBE probes), fine = PQ_M=8 subspaces × PQ_K=16
-# codes over UNIT-NORMALIZED vectors (so squared-L2 ADC ordering tracks
-# cosine: ||a-b||² = 2-2cos on unit vectors). Non-residual PQ variant
-# (codes quantize the raw normalized vector, not the coarse residual),
-# documented as such. Determinism recipe shared with the IVF trainer:
-# init = subvectors of the first PQ_K vectors, Lloyd assignment by
-# 6-rounded distance with ties → smaller code, means folded in vec_id
-# order — bit-equal codebooks across engines. ADC distances are summed as
+# codes, ADC over RESIDUALS); this is the fixture-scale analog — coarse =
+# the k-means IVF above (N_CELLS cells, NPROBE probes), fine = PQ_M=16
+# subspaces × PQ_K=256 codes (8-bit, reference parity) over the COARSE
+# RESIDUAL r = nv − ref(cell), where nv is the unit-normalized vector
+# and ref(cell) the per-cell MEAN of the normalized members (_cell_refs)
+# — the L2-optimal reference in the space the PQ quantizes: residual
+# energy is 1 − ρ² (ρ = cell coherence) vs the non-residual 1. The r4
+# config ladder at sf0.1 (ADC-only recall@5 vs brute force, measured):
+# non-residual 8×16 = 0.28 (r3) → unit-centroid residual 8×16 = 0.22
+# (inflates residual energy to 2(1−ρ), WORSE — rejected) → mean-ref
+# residual 8×64 = 0.36, 8×256 = 0.40, 16×64 = 0.46, **16×256 = 0.58**.
+# Squared-L2 ADC on residuals equals squared-L2 on the originals when
+# query and candidate share the cell — which the probe join guarantees —
+# and L2 ordering tracks cosine on unit vectors (||a-b||² = 2-2cos).
+# The query-side LUT is therefore PER PROBED CELL: q's residual vs THAT
+# cell's reference, keyed (query, cell, m, code).
+# Determinism recipe shared with the IVF trainer: init = residual
+# subvectors of the first PQ_K vectors, Lloyd assignment by 6-rounded
+# distance with ties → smaller code, means folded in vec_id order —
+# bit-equal codebooks across engines. ADC distances are summed as
 # integer micro-units (round(d2,6)*1e6 per subspace, BIGINT sum), so the
-# 8-way sum is exact and engine-order-independent.
+# PQ_M-way sum is exact and engine-order-independent.
 #
 # Scale story: codebooks are PQ_M*PQ_K tiny rows (broadcast dim); codes
-# are 8 small ints per doc — the compression that removes the
-# uncompressed-candidate-vector memory wall at 100 TB; the ADC join keys
-# on (query, m, code) against a broadcast LUT, candidates stay
-# cell-partitioned from the IVF probe. Only the LUT uses raw query
-# vectors.
+# are 16 bytes per doc (32× under the raw 512-byte vector) — the
+# compression that removes the uncompressed-candidate-vector memory wall
+# at 100 TB; the ADC join keys on (query, cell, m, code) against a
+# broadcast LUT (N_QUERIES × NPROBE × PQ_M × PQ_K rows — still a
+# broadcast dim), candidates stay cell-partitioned from the IVF probe.
+# Only the LUT uses raw query vectors.
 # ---------------------------------------------------------------------------
 
-PQ_M = 8
+PQ_M = 16
 PQ_DSUB = EMB_DIM // PQ_M
-PQ_K = 16
+PQ_K = 256
 PQ_ITERS = 2
 
-_D2 = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-       " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+def _cell_refs(spark, sf_dir) -> DataFrame:
+    """(cell, ncv): residual reference points = per-cell MEAN of the
+    unit-normalized members (deterministic vec_id-ordered fold, same
+    recipe as the coarse trainer). The mean of nv is the L2-optimal
+    reference in the normalized space the PQ actually quantizes:
+    residual energy is 1 − ρ² (ρ = cell coherence), strictly below the
+    non-residual 1. Using the UNIT-normalized centroid instead inflates
+    it to 2(1 − ρ) > 1 — measured WORSE than no residual at all on this
+    data (sf0.1 ADC recall 0.22 vs 0.28)."""
+    e = _with_norm(emb(spark, sf_dir))
+    mean_expr = (
+        f"transform(aggregate(arr, array_repeat(CAST(0.0 AS DOUBLE), {EMB_DIM}),"
+        " (acc, e) -> zip_with(acc, e.nv, (a, b) -> a + b)), x -> x / n)")
+    return (e.withColumn("nv", F.expr("transform(v, x -> x / norm)"))
+            .join(_assign_df(spark, sf_dir), "vec_id")
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("vec_id", "nv")))
+                 .alias("arr"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("cell", F.expr(mean_expr).alias("ncv")))
 
 
-def _subvectors(spark, sf_dir) -> DataFrame:
-    """(vec_id, m, sv): the m-th PQ_DSUB-wide slice of the unit-normalized
-    embedding, one row per (vector, subspace)."""
+def _residual_subvectors(spark, sf_dir, assign: DataFrame) -> DataFrame:
+    """(vec_id, cell, m, sv): PQ_DSUB-wide slices of the coarse residual
+    nv − ĉ(cell), one row per (vector, assigned cell, subspace).
+    `assign` is (vec_id, cell) — rank-1 assignment for encoding, the
+    NPROBE probe set for the query-side LUT (one residual per probed
+    cell)."""
     e = _with_norm(emb(spark, sf_dir))
     ms = F.expr(
         f"transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m,"
-        f" slice(nv, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS sv))")
+        f" slice(rv, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS sv))")
     return (e.withColumn("nv", F.expr("transform(v, x -> x / norm)"))
-            .select("vec_id", F.explode(ms).alias("s"))
-            .select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")))
+            .join(assign, "vec_id")
+            .join(F.broadcast(_cell_refs(spark, sf_dir)), "cell")
+            .withColumn("rv", F.expr("zip_with(nv, ncv, (a, b) -> a - b)"))
+            .select("vec_id", "cell", F.explode(ms).alias("s"))
+            .select("vec_id", "cell", F.col("s.m").alias("m"),
+                    F.col("s.sv").alias("sv"))
+            # ||sv||^2 once per row: distances use the dot expansion
+            # ||s-c||^2 = svv - 2 s.c + cvv — ONE native fold per pair
+            # instead of a zip+fold lambda (the Lloyd/code/LUT hot path)
+            .withColumn("svv", F.expr(_DOT.format(a="sv", b="sv"))))
+
+
+def _assign_df(spark, sf_dir) -> DataFrame:
+    return (_cells(spark, sf_dir).filter(F.col("crank") == 1)
+            .select("vec_id", "cell"))
 
 
 def _pq_codebooks(spark, sf_dir) -> DataFrame:
-    """(m, code, cv): PQ_K centroids per subspace, all PQ_M subspaces
-    trained in ONE k-means keyed by m (the subspace id is just another
-    grouping column — no per-subspace jobs)."""
-    sub = _subvectors(spark, sf_dir)
+    """(m, code, cv): PQ_K centroids per subspace over RESIDUAL
+    subvectors, all PQ_M subspaces trained in ONE k-means keyed by m
+    (the subspace id is just another grouping column — no per-subspace
+    jobs). One codebook shared across cells (standard IVFADC)."""
+    sub = _residual_subvectors(spark, sf_dir, _assign_df(spark, sf_dir))
     cb = (sub.filter(F.col("vec_id") < PQ_K)
           .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")))
     mean_expr = (
         f"transform(aggregate(arr, array_repeat(CAST(0.0 AS DOUBLE), {PQ_DSUB}),"
         " (acc, e) -> zip_with(acc, e.sv, (a, b) -> a + b)), x -> x / n)")
     for _ in range(PQ_ITERS):
-        pd = F.round(F.expr(_D2.format(a="sv", b="cv")), 6)
+        cbv = cb.withColumn("cvv", F.expr(_DOT.format(a="cv", b="cv")))
+        pd = F.round(F.col("svv") - 2 * F.expr(_DOT.format(a="sv", b="cv"))
+                     + F.col("cvv"), 6)
         w = Window.partitionBy("vec_id", "m").orderBy(
             F.col("pd").asc(), F.col("code").asc())
-        assign = (sub.join(F.broadcast(cb), "m")
+        assign = (sub.join(F.broadcast(cbv), "m")
                   .withColumn("pd", pd)
                   .withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1)
@@ -510,11 +559,15 @@ def _pq_codebooks(spark, sf_dir) -> DataFrame:
 
 
 def _pq_codes(spark, sf_dir) -> DataFrame:
-    """(vec_id, m, code): nearest trained codeword per subspace — the
-    8-small-ints-per-doc compressed representation."""
-    sub = _subvectors(spark, sf_dir)
-    cb = _pq_codebooks(spark, sf_dir)
-    pd = F.round(F.expr(_D2.format(a="sv", b="cv")), 6)
+    """(vec_id, m, code): nearest trained codeword per RESIDUAL subspace
+    — the PQ_M-small-ints-per-doc compressed representation
+    (16 bytes/vector at PQ_M=16 × 8-bit codes — 32× under the raw
+    512-byte float64 vector)."""
+    sub = _residual_subvectors(spark, sf_dir, _assign_df(spark, sf_dir))
+    cb = _pq_codebooks(spark, sf_dir).withColumn(
+        "cvv", F.expr(_DOT.format(a="cv", b="cv")))
+    pd = F.round(F.col("svv") - 2 * F.expr(_DOT.format(a="sv", b="cv"))
+                 + F.col("cvv"), 6)
     w = Window.partitionBy("vec_id", "m").orderBy(
         F.col("pd").asc(), F.col("code").asc())
     return (sub.join(F.broadcast(cb), "m")
@@ -537,9 +590,13 @@ _MICRO = 1_000_000
 
 
 def _ivfpq_adc(spark, sf_dir, topn: int) -> DataFrame:
-    """IVFPQ search core: IVF-probe candidate generation (cell join) +
-    ADC scoring — per-query lookup table of exact-query-subvector→
-    codeword distances, candidate score = BIGINT sum of its 8 code
+    """IVFADC search core: IVF-probe candidate generation (cell join) +
+    residual ADC scoring — the LUT holds, PER PROBED CELL, the distances
+    from the query's residual-vs-that-cell subvectors to every codeword;
+    a candidate in cell c is scored against the query's cell-c LUT rows
+    (join key (query, cell, m, code)), so query and candidate residuals
+    share the reference centroid and the ADC distance estimates the true
+    inter-vector distance. Candidate score = BIGINT sum of its PQ_M code
     lookups; top-`topn` per query by (adist_u, cand_id)."""
     cells = _cells(spark, sf_dir)
     assign = cells.filter(F.col("crank") == 1).select("vec_id", "cell")
@@ -547,22 +604,28 @@ def _ivfpq_adc(spark, sf_dir, topn: int) -> DataFrame:
               .filter(F.col("vec_id") < N_QUERIES)
               .select(F.col("vec_id").alias("query_id"), "cell"))
     codes = _pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "cand_id")
-    qsub = (_subvectors(spark, sf_dir)
-            .filter(F.col("vec_id") < N_QUERIES)
+    # query residual per PROBED cell (probes as the assignment input)
+    qsub = (_residual_subvectors(
+                spark, sf_dir,
+                probes.select(F.col("query_id").alias("vec_id"), "cell"))
             .withColumnRenamed("vec_id", "query_id"))
-    pd_u = F.round(F.round(F.expr(_D2.format(a="sv", b="cv")), 6)
+    pd_u = F.round(F.round(F.col("svv")
+                           - 2 * F.expr(_DOT.format(a="sv", b="cv"))
+                           + F.col("cvv"), 6)
                    * F.lit(float(_MICRO)), 0).cast("bigint")
-    lut = (qsub.join(F.broadcast(_pq_codebooks(spark, sf_dir)), "m")
-           .select("query_id", "m", "code", pd_u.alias("pd_u")))
+    cbv = _pq_codebooks(spark, sf_dir).withColumn(
+        "cvv", F.expr(_DOT.format(a="cv", b="cv")))
+    lut = (qsub.join(F.broadcast(cbv), "m")
+           .select("query_id", "cell", "m", "code", pd_u.alias("pd_u")))
     pairs = (probes
              .join(assign.withColumnRenamed("vec_id", "cand_id"), "cell")
              .filter(F.col("query_id") != F.col("cand_id"))
-             .select("query_id", "cand_id")
+             .select("query_id", "cand_id", "cell")
              .dropDuplicates(["query_id", "cand_id"]))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist_u").asc(), F.col("cand_id").asc())
     return (pairs.join(codes, "cand_id")
-            .join(lut, ["query_id", "m", "code"])
+            .join(lut, ["query_id", "cell", "m", "code"])
             .groupBy("query_id", "cand_id")
             .agg(F.sum("pd_u").alias("adist_u"))
             .withColumn("rank", F.row_number().over(w))
@@ -600,7 +663,7 @@ def q_ann_ivfpq_rerank_topk(spark, sf_dir):
     Scale story: at 100 TB the candidate vectors never materialize —
     the shortlist join keys on cand_id against the (bucketed) embedding
     table and moves R rows per query, not a probe set; everything
-    upstream stays 8-small-ints-per-doc. Recovers near-IVF recall at PQ
+    upstream stays PQ_M-small-ints-per-doc. Recovers near-IVF recall at PQ
     memory cost."""
     shortlist = (_ivfpq_adc(spark, sf_dir, RERANK_R)
                  .select("query_id", "cand_id"))
@@ -635,28 +698,45 @@ def q_ann_ivfpq_rerank_recall(spark, sf_dir):
                     F.round(F.col("hits") / F.col("total"), 6).alias("recall")))
 
 
-def _duck_d2(a: str, b: str, dim: int) -> str:
-    # left fold starting at x1 ≡ Spark's 0.0-seeded fold (0.0 + x1 == x1)
-    return (f"list_reduce(list_transform(generate_series(1, {dim}),"
-            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])),"
-            " (acc, x) -> acc + x)")
-
-
 def _duck_pq_ctes() -> str:
-    """nsub (subvectors) + the PQ Lloyd chain pb0 → … → pb{PQ_ITERS} +
-    pqcodes, mirroring _pq_codebooks/_pq_codes op-for-op."""
+    """Residual subvectors + the PQ Lloyd chain pb0 → … → pb{PQ_ITERS} +
+    pqcodes, mirroring _residual_subvectors/_pq_codebooks/_pq_codes
+    op-for-op. Requires the centroid chain (c{KMEANS_ITERS}) and `cells`
+    CTEs in scope."""
     parts = [
+        "assign0 AS (SELECT vec_id, cell FROM cells WHERE crank = 1)",
         "nv_t AS (SELECT vec_id, list_transform(v, x -> x / norm) AS nv"
         " FROM e)",
-        f"nsub AS (SELECT vec_id, g.m,"
-        f" nv[(g.m * {PQ_DSUB} + 1):(g.m * {PQ_DSUB} + {PQ_DSUB})] AS sv"
-        f" FROM nv_t, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) g)",
+        # residual reference = per-cell mean of nv (vec_id-ordered fold,
+        # mirror of _cell_refs)
+        "ng0 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,"
+        " list(nv ORDER BY vec_id) AS arr"
+        " FROM nv_t t JOIN assign0 a USING (vec_id) GROUP BY cell)",
+        "ncents AS (SELECT cell, list_transform(list_reduce(arr,"
+        " (acc, x) -> list_transform(generate_series(1, len(acc)),"
+        " i -> acc[i] + x[i])), s -> s / n) AS ncv FROM ng0)",
+        f"rv_t AS (SELECT t.vec_id, a.cell,"
+        f" list_transform(generate_series(1, {EMB_DIM}),"
+        f" i -> t.nv[i] - n.ncv[i]) AS rv"
+        f" FROM nv_t t JOIN assign0 a USING (vec_id)"
+        f" JOIN ncents n USING (cell))",
+        f"nsub0 AS (SELECT vec_id, cell, g.m,"
+        f" rv[(g.m * {PQ_DSUB} + 1):(g.m * {PQ_DSUB} + {PQ_DSUB})] AS sv"
+        f" FROM rv_t, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) g)",
+        "nsub AS (SELECT vec_id, cell, m, sv,"
+        " list_dot_product(sv, sv) AS svv FROM nsub0)",
         f"pb0 AS (SELECT m, vec_id AS code, sv AS cv FROM nsub"
         f" WHERE vec_id < {PQ_K})",
     ]
-    d2 = _duck_d2("s.sv", "c.cv", PQ_DSUB)
+    # dot expansion (see the Spark side): native list_dot_product folds
+    # instead of interpreted generate_series lambdas — same formula both
+    # engines, so doubles stay bit-equal
+    d2 = "(s.svv - 2 * list_dot_product(s.sv, c.cv) + c.cvv)"
     for it in range(1, PQ_ITERS + 1):
-        prev = f"pb{it - 1}"
+        prev = f"pbv{it - 1}"
+        parts.append(
+            f"pbv{it - 1} AS (SELECT m, code, cv,"
+            f" list_dot_product(cv, cv) AS cvv FROM pb{it - 1})")
         parts.append(
             f"pa{it} AS (SELECT vec_id, m, code, sv FROM ("
             " SELECT s.vec_id, s.m, c.code, s.sv, row_number() OVER ("
@@ -675,16 +755,21 @@ def _duck_pq_ctes() -> str:
             f"pb{it} AS (SELECT p.m, p.code, coalesce(q.ncv, p.cv) AS cv"
             f" FROM {prev} p LEFT JOIN pm{it} q USING (m, code))")
     parts.append(
+        f"pbv{PQ_ITERS} AS (SELECT m, code, cv,"
+        f" list_dot_product(cv, cv) AS cvv FROM pb{PQ_ITERS})")
+    parts.append(
         "pqcodes AS (SELECT vec_id, m, code FROM ("
         " SELECT s.vec_id, s.m, c.code, row_number() OVER ("
         "  PARTITION BY s.vec_id, s.m ORDER BY"
         f"  round({d2}, 6) ASC, c.code ASC) AS rn"
-        f" FROM nsub s JOIN pb{PQ_ITERS} c USING (m)) WHERE rn = 1)")
+        f" FROM nsub s JOIN pbv{PQ_ITERS} c USING (m)) WHERE rn = 1)")
     return ", ".join(parts)
 
 
 SQL_ANN_IVFPQ_CODES = (
-    "WITH e AS (" + _DUCK_NORM + "), " + _duck_pq_ctes() +
+    "WITH " + _duck_centroid_ctes() + ","
+    " cells AS (" + _DUCK_CELLS_BODY + "),"
+    " " + _duck_pq_ctes() +
     " SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code"
     " FROM pqcodes")
 
@@ -693,25 +778,33 @@ def _sql_ivfpq_adc(topn: int) -> str:
     return (
     "WITH " + _duck_centroid_ctes() + ","
     " cells AS (" + _DUCK_CELLS_BODY + "),"
-    " assign AS (SELECT vec_id, cell FROM cells WHERE crank = 1),"
     f" probes AS (SELECT vec_id AS query_id, cell FROM cells"
     f"   WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),"
     " " + _duck_pq_ctes() + ","
-    f" qsub AS (SELECT vec_id AS query_id, m, sv FROM nsub"
-    f"   WHERE vec_id < {N_QUERIES}),"
-    " lut AS (SELECT q.query_id, q.m, c.code,"
-    f"   CAST(round(round({_duck_d2('q.sv', 'c.cv', PQ_DSUB)}, 6)"
-    f"     * {_MICRO}, 0) AS BIGINT) AS pd_u"
-    f"   FROM qsub q JOIN pb{PQ_ITERS} c USING (m)),"
-    " pairs AS (SELECT DISTINCT p.query_id, a.vec_id AS cand_id"
-    "   FROM probes p JOIN assign a USING (cell)"
+    # query residual per PROBED cell (mirror of the Spark qsub)
+    f" qrv AS (SELECT t.vec_id AS query_id, p.cell,"
+    f"   list_transform(generate_series(1, {EMB_DIM}),"
+    f"   i -> t.nv[i] - n.ncv[i]) AS rv"
+    f"   FROM nv_t t JOIN probes p ON p.query_id = t.vec_id"
+    f"   JOIN ncents n USING (cell)),"
+    f" qsub0 AS (SELECT query_id, cell, g.m,"
+    f"   rv[(g.m * {PQ_DSUB} + 1):(g.m * {PQ_DSUB} + {PQ_DSUB})] AS sv"
+    f"   FROM qrv, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) g),"
+    " qsub AS (SELECT query_id, cell, m, sv,"
+    "   list_dot_product(sv, sv) AS svv FROM qsub0),"
+    " lut AS (SELECT q.query_id, q.cell, q.m, c.code,"
+    "   CAST(round(round(q.svv - 2 * list_dot_product(q.sv, c.cv)"
+    f"     + c.cvv, 6) * {_MICRO}, 0) AS BIGINT) AS pd_u"
+    f"   FROM qsub q JOIN pbv{PQ_ITERS} c USING (m)),"
+    " pairs AS (SELECT DISTINCT p.query_id, a.vec_id AS cand_id, a.cell"
+    "   FROM probes p JOIN assign0 a USING (cell)"
     "   WHERE p.query_id <> a.vec_id),"
     " scored AS (SELECT pr.query_id, pr.cand_id,"
     "   CAST(sum(l.pd_u) AS BIGINT) AS adist_u"
     "   FROM pairs pr"
     "   JOIN pqcodes k ON k.vec_id = pr.cand_id"
-    "   JOIN lut l ON l.query_id = pr.query_id AND l.m = k.m"
-    "     AND l.code = k.code"
+    "   JOIN lut l ON l.query_id = pr.query_id AND l.cell = pr.cell"
+    "     AND l.m = k.m AND l.code = k.code"
     "   GROUP BY pr.query_id, pr.cand_id)"
     " SELECT query_id, cand_id,"
     f"  round(adist_u / {_MICRO}.0, 6) AS adist,"
