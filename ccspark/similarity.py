@@ -476,7 +476,7 @@ PQ_DSUB = EMB_DIM // PQ_M
 PQ_K = 256
 PQ_ITERS = 2
 
-def _cell_refs(spark, sf_dir) -> DataFrame:
+def _cell_refs(spark, sf_dir, assign: DataFrame | None = None) -> DataFrame:
     """(cell, ncv): residual reference points = per-cell MEAN of the
     unit-normalized members (deterministic vec_id-ordered fold, same
     recipe as the coarse trainer). The mean of nv is the L2-optimal
@@ -486,11 +486,15 @@ def _cell_refs(spark, sf_dir) -> DataFrame:
     it to 2(1 − ρ) > 1 — measured WORSE than no residual at all on this
     data (sf0.1 ADC recall 0.22 vs 0.28)."""
     e = _with_norm(emb(spark, sf_dir))
+    # (signature below takes the shared rank-1 assignment when the
+    # caller already built it — see _pq_shared)
     mean_expr = (
         f"transform(aggregate(arr, array_repeat(CAST(0.0 AS DOUBLE), {EMB_DIM}),"
         " (acc, e) -> zip_with(acc, e.nv, (a, b) -> a + b)), x -> x / n)")
+    if assign is None:
+        assign = _assign_df(spark, sf_dir)
     return (e.withColumn("nv", F.expr("transform(v, x -> x / norm)"))
-            .join(_assign_df(spark, sf_dir), "vec_id")
+            .join(assign, "vec_id")
             .groupBy("cell")
             .agg(F.sort_array(F.collect_list(F.struct("vec_id", "nv")))
                  .alias("arr"),
@@ -498,7 +502,8 @@ def _cell_refs(spark, sf_dir) -> DataFrame:
             .select("cell", F.expr(mean_expr).alias("ncv")))
 
 
-def _residual_subvectors(spark, sf_dir, assign: DataFrame) -> DataFrame:
+def _residual_subvectors(spark, sf_dir, assign: DataFrame,
+                         refs: DataFrame | None = None) -> DataFrame:
     """(vec_id, cell, m, sv): PQ_DSUB-wide slices of the coarse residual
     nv − ĉ(cell), one row per (vector, assigned cell, subspace).
     `assign` is (vec_id, cell) — rank-1 assignment for encoding, the
@@ -508,9 +513,11 @@ def _residual_subvectors(spark, sf_dir, assign: DataFrame) -> DataFrame:
     ms = F.expr(
         f"transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m,"
         f" slice(rv, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS sv))")
+    if refs is None:
+        refs = _cell_refs(spark, sf_dir)
     return (e.withColumn("nv", F.expr("transform(v, x -> x / norm)"))
             .join(assign, "vec_id")
-            .join(F.broadcast(_cell_refs(spark, sf_dir)), "cell")
+            .join(F.broadcast(refs), "cell")
             .withColumn("rv", F.expr("zip_with(nv, ncv, (a, b) -> a - b)"))
             .select("vec_id", "cell", F.explode(ms).alias("s"))
             .select("vec_id", "cell", F.col("s.m").alias("m"),
@@ -526,12 +533,13 @@ def _assign_df(spark, sf_dir) -> DataFrame:
             .select("vec_id", "cell"))
 
 
-def _pq_codebooks(spark, sf_dir) -> DataFrame:
+def _pq_codebooks(spark, sf_dir, sub: DataFrame | None = None) -> DataFrame:
     """(m, code, cv): PQ_K centroids per subspace over RESIDUAL
     subvectors, all PQ_M subspaces trained in ONE k-means keyed by m
     (the subspace id is just another grouping column — no per-subspace
     jobs). One codebook shared across cells (standard IVFADC)."""
-    sub = _residual_subvectors(spark, sf_dir, _assign_df(spark, sf_dir))
+    if sub is None:
+        sub = _residual_subvectors(spark, sf_dir, _assign_df(spark, sf_dir))
     cb = (sub.filter(F.col("vec_id") < PQ_K)
           .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")))
     mean_expr = (
@@ -558,14 +566,17 @@ def _pq_codebooks(spark, sf_dir) -> DataFrame:
     return cb
 
 
-def _pq_codes(spark, sf_dir) -> DataFrame:
+def _pq_codes(spark, sf_dir, sub: DataFrame | None = None,
+              cb: DataFrame | None = None) -> DataFrame:
     """(vec_id, m, code): nearest trained codeword per RESIDUAL subspace
     — the PQ_M-small-ints-per-doc compressed representation
     (16 bytes/vector at PQ_M=16 × 8-bit codes — 32× under the raw
     512-byte float64 vector)."""
-    sub = _residual_subvectors(spark, sf_dir, _assign_df(spark, sf_dir))
-    cb = _pq_codebooks(spark, sf_dir).withColumn(
-        "cvv", F.expr(_DOT.format(a="cv", b="cv")))
+    if sub is None:
+        sub = _residual_subvectors(spark, sf_dir, _assign_df(spark, sf_dir))
+    if cb is None:
+        cb = _pq_codebooks(spark, sf_dir, sub)
+    cb = cb.withColumn("cvv", F.expr(_DOT.format(a="cv", b="cv")))
     pd = F.round(F.col("svv") - 2 * F.expr(_DOT.format(a="sv", b="cv"))
                  + F.col("cvv"), 6)
     w = Window.partitionBy("vec_id", "m").orderBy(
@@ -577,8 +588,28 @@ def _pq_codes(spark, sf_dir) -> DataFrame:
             .select("vec_id", "m", "code"))
 
 
+def _pq_shared(spark, sf_dir):
+    """Build the IVFADC training chain ONCE, persisted at every reuse
+    point: cells (the 3-iteration coarse k-means — every consumer
+    re-derives it otherwise), the per-cell residual references, the
+    residual subvectors (reused by 2 Lloyd iterations + the final code
+    assignment), and the trained codebooks. Without this the lazy plan
+    re-executes the whole k-means chain once per consumer (~6× for the
+    re-rank query — measured 95 s → ~8 s at sf0.1). All frames are tiny
+    relative to the corpus (codebooks/refs are broadcast dims; sub is
+    PQ_M rows/vector), and at 100 TB the trainer runs on a bounded
+    sample anyway (see SCALE.md), so MEMORY_AND_DISK persists are safe."""
+    cells = _cells(spark, sf_dir).persist()
+    assign = cells.filter(F.col("crank") == 1).select("vec_id", "cell")
+    refs = _cell_refs(spark, sf_dir, assign).persist()
+    sub = _residual_subvectors(spark, sf_dir, assign, refs).persist()
+    cb = _pq_codebooks(spark, sf_dir, sub).persist()
+    return cells, assign, refs, sub, cb
+
+
 def q_ann_ivfpq_codes(spark, sf_dir):
-    return (_pq_codes(spark, sf_dir)
+    _cells_df, _assign, _refs, sub, cb = _pq_shared(spark, sf_dir)
+    return (_pq_codes(spark, sf_dir, sub, cb)
             .select("vec_id", F.col("m").cast("bigint").alias("m"),
                     F.col("code").cast("bigint").alias("code")))
 
@@ -598,23 +629,23 @@ def _ivfpq_adc(spark, sf_dir, topn: int) -> DataFrame:
     share the reference centroid and the ADC distance estimates the true
     inter-vector distance. Candidate score = BIGINT sum of its PQ_M code
     lookups; top-`topn` per query by (adist_u, cand_id)."""
-    cells = _cells(spark, sf_dir)
-    assign = cells.filter(F.col("crank") == 1).select("vec_id", "cell")
+    cells, assign, refs, sub, cb = _pq_shared(spark, sf_dir)
     probes = (cells.filter(F.col("crank") <= NPROBE)
               .filter(F.col("vec_id") < N_QUERIES)
               .select(F.col("vec_id").alias("query_id"), "cell"))
-    codes = _pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "cand_id")
+    codes = (_pq_codes(spark, sf_dir, sub, cb)
+             .withColumnRenamed("vec_id", "cand_id"))
     # query residual per PROBED cell (probes as the assignment input)
     qsub = (_residual_subvectors(
                 spark, sf_dir,
-                probes.select(F.col("query_id").alias("vec_id"), "cell"))
+                probes.select(F.col("query_id").alias("vec_id"), "cell"),
+                refs)
             .withColumnRenamed("vec_id", "query_id"))
     pd_u = F.round(F.round(F.col("svv")
                            - 2 * F.expr(_DOT.format(a="sv", b="cv"))
                            + F.col("cvv"), 6)
                    * F.lit(float(_MICRO)), 0).cast("bigint")
-    cbv = _pq_codebooks(spark, sf_dir).withColumn(
-        "cvv", F.expr(_DOT.format(a="cv", b="cv")))
+    cbv = cb.withColumn("cvv", F.expr(_DOT.format(a="cv", b="cv")))
     lut = (qsub.join(F.broadcast(cbv), "m")
            .select("query_id", "cell", "m", "code", pd_u.alias("pd_u")))
     pairs = (probes
