@@ -79,6 +79,10 @@ MIN_ACCEPTED_PAIRS = int(os.environ.get("CCSPARK_BENCH_MIN_ACCEPTED", "4"))
 #: hard wall budget for the gated pair loop — the gate must not wedge the
 #: whole bench on a host that never goes quiet
 PAIR_BUDGET_S = int(os.environ.get("CCSPARK_BENCH_PAIR_BUDGET_S", "3600"))
+#: degraded pre-probes tolerated before pairs get measured (ungated)
+#: anyway; the opportunistic `--phase pairs` hunter raises this so it
+#: sleeps through bad weather instead of burning doomed runs
+MAX_SKIPS = int(os.environ.get("CCSPARK_BENCH_MAX_SKIPS", "20"))
 
 
 def _quiet_ref(procs: int) -> float:
@@ -394,10 +398,16 @@ def phase_multijvm() -> None:
             # windows suppress the dual side first and fake a scale-out
             # penalty (r3's 0.515 at 8 total cores). A rep counts only if
             # the raw-CPU control cleared the gate before AND after it.
+            # Like the pair loop, degraded pre-probes stop blocking after
+            # a cap: a host that never goes quiet must still yield
+            # (flagged, ungated) measurements, not an empty table.
+            skipped = 0
             while (accepted_reps < reps
+                   and len(singles) < 2 * reps
                    and time.perf_counter() - t_cfg < budget_s):
                 pre_ok, pre = _window_probe(total)
-                if not pre_ok:
+                if not pre_ok and skipped < MAX_SKIPS:
+                    skipped += 1
                     time.sleep(15)
                     continue
                 t_s, _n = _server_run(single, N_URLS)
@@ -470,25 +480,12 @@ def phase_lowmem() -> None:
                       "jvm_peak_rss_mb": peak_mb}))
 
 
-def main() -> None:
-    # MATCHED-WINDOW protocol: one long-lived pinned session per level,
-    # runs alternated base,full,base,full at ~2-minute granularity so
-    # each pair (b_i, f_i) samples (nearly) the same host state. The
-    # sandbox host degrades one-sidedly by 3-7x for minutes at a time
-    # (BENCH.md); the pair with the fastest COMBINED wall time
-    # (b_i + 4·f_i, the total-work proxy) is the least externally
-    # degraded sample, and its ratio is the estimate of the noise-free
-    # scaling. min-over-all-runs per level is also reported: it is the
-    # classic estimator but can pair a lucky base window with an hour
-    # that never gave the full level a clean window.
-    # WINDOW-GATED matched pairs: before AND after each (base, full) pair
-    # the raw-CPU control is probed at both proc levels; the pair counts
-    # toward the record only if the host delivered ≥ GATE_FRAC of its
-    # quiet-window Mops the whole time. Pairs keep being measured until
-    # MIN_ACCEPTED_PAIRS accept (or the PAIR_BUDGET_S wall cap trips);
-    # rejected pairs are still recorded for transparency. When the probe
-    # says the window is degraded BEFORE a pair, the bench sleeps briefly
-    # instead of burning a 4-minute pipeline run it would have to reject.
+def _gated_pairs() -> tuple[list, list, int | None, int]:
+    """The window-gated matched-pair loop (see main() for the protocol).
+    Returns (pairs, pair_meta, urls_scheduled, skipped_degraded_probes).
+    Also exposed as `--phase pairs` so a quiet window can be hunted
+    opportunistically (long PAIR_BUDGET_S) without re-running the whole
+    bench."""
     pairs, pair_meta, scheduled = [], [], None
     base_srv, full_srv = _spawn_servers(
         list(range(BASE_CORES)), list(range(FULL_CORES)))
@@ -500,7 +497,7 @@ def main() -> None:
         while (accepted_n < MIN_ACCEPTED_PAIRS
                and time.perf_counter() - t_loop < PAIR_BUDGET_S):
             pre_ok, pre = _window_probe(BASE_CORES, FULL_CORES)
-            if not pre_ok and closed_probes < 20:
+            if not pre_ok and closed_probes < MAX_SKIPS:
                 closed_probes += 1
                 time.sleep(15)
                 continue
@@ -531,6 +528,38 @@ def main() -> None:
                               "ctl_post": post})
     finally:
         _close_servers(base_srv, full_srv)
+    return pairs, pair_meta, scheduled, closed_probes
+
+
+def phase_pairs() -> None:
+    pairs, pair_meta, scheduled, skipped = _gated_pairs()
+    print(json.dumps({
+        "pair_times": [[round(b, 1), round(f, 1)] for b, f in pairs],
+        "pair_gate": pair_meta, "urls_scheduled": scheduled,
+        "skipped_degraded_probes": skipped,
+        "accepted_pairs": sum(m["accepted"] for m in pair_meta)}))
+
+
+def main() -> None:
+    # MATCHED-WINDOW protocol: one long-lived pinned session per level,
+    # runs alternated base,full,base,full at ~2-minute granularity so
+    # each pair (b_i, f_i) samples (nearly) the same host state. The
+    # sandbox host degrades one-sidedly by 3-7x for minutes at a time
+    # (BENCH.md); the pair with the fastest COMBINED wall time
+    # (b_i + 4·f_i, the total-work proxy) is the least externally
+    # degraded sample, and its ratio is the estimate of the noise-free
+    # scaling. min-over-all-runs per level is also reported: it is the
+    # classic estimator but can pair a lucky base window with an hour
+    # that never gave the full level a clean window.
+    # WINDOW-GATED matched pairs: before AND after each (base, full) pair
+    # the raw-CPU control is probed at both proc levels; the pair counts
+    # toward the record only if the host delivered ≥ GATE_FRAC of its
+    # quiet-window Mops the whole time. Pairs keep being measured until
+    # MIN_ACCEPTED_PAIRS accept (or the PAIR_BUDGET_S wall cap trips);
+    # rejected pairs are still recorded for transparency. When the probe
+    # says the window is degraded BEFORE a pair, the bench sleeps briefly
+    # instead of burning a 4-minute pipeline run it would have to reject.
+    pairs, pair_meta, scheduled, closed_probes = _gated_pairs()
     if not pairs:
         raise RuntimeError("no completed scaling pairs (host hung)")
     accepted = [p for p, meta in zip(pairs, pair_meta) if meta["accepted"]]
@@ -809,6 +838,8 @@ if __name__ == "__main__":
             phase_lowmem()
         elif phase == "multijvm":
             phase_multijvm()
+        elif phase == "pairs":
+            phase_pairs()
         else:
             raise SystemExit(f"unknown phase {phase}")
     else:
