@@ -327,7 +327,9 @@ SQL_ANN_IVF_CELLS = (
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF search: probe the NPROBE nearest cells, rank candidates inside
     probed cells by cosine. Join key = cell (the bucket-partitioned path)."""
-    cells = _cells(spark, sf_dir)
+    # persisted: assign + probes both consume it — without this the
+    # 3-iteration coarse k-means chain executes twice per search
+    cells = _cells(spark, sf_dir).persist()
     assign = (cells.filter(F.col("crank") == 1).select("vec_id", "cell"))
     probes = (cells.filter(F.col("crank") <= NPROBE)
               .filter(F.col("vec_id") < N_QUERIES)
