@@ -15,7 +15,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from . import analytics, dedup, htmlspans, multimodal, similarity, textops, warc
+from . import (analytics, dedup, htmlspans, multimodal, similarity, textops,
+               vlad, warc)
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -150,7 +151,8 @@ CRAWL_REG = {
 # ---------------------------------------------------------------------------
 
 _MERGED: dict[str, tuple] = {}
-for mod in (analytics, dedup, similarity, textops, multimodal, warc, htmlspans):
+for mod in (analytics, dedup, similarity, textops, multimodal, warc,
+            htmlspans, vlad):
     overlap = _MERGED.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
     _MERGED.update(mod.REG)
@@ -172,7 +174,10 @@ _MERGED.update(CRAWL_REG)
 # media_frame_sample — same mapInPandas plumbing as the gated
 # media_decode), queries SUBSUMED by a gated sibling (word_count_min100 /
 # sum_by_key ⊂ word_count+top_words, ann_ivf_recall ⊂ ann_ivfpq_recall's
-# chain, embedding_neardup_topk ⊂ ann_bruteforce_topk — rotated out in
+# chain, embedding_neardup_topk ⊂ ann_bruteforce_topk,
+# approx_distinct_users ⊂ the A6 family whose exact half
+# distinct_users_by_type stays gated (demoted for media_vlad, the VLAD
+# image-vectorization surface) — rotated out in
 # round 4 to gate the newest components: seen_recrawl_cuckoo,
 # dedup_clusters, dedup_fuzzy_corpus, quality_repetition), and the four
 # rows-only crawl queries (no DuckDB twin by design; pinned by the
@@ -184,7 +189,7 @@ GATE_ORDER = [
     "ngram_pruned_vocab", "counters", "seen_anti_join", "region_members",
     "vocab_join", "url_hosts", "media_url_filter", "fetch_sim",
     "politeness_budget", "events_daily", "url_words", "fetch_worthy",
-    "http_body_split", "distinct_users_by_type", "approx_distinct_users",
+    "http_body_split", "distinct_users_by_type",
     "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_hamming_pairs", "ngram_jaccard_topk", "ann_bruteforce_topk",
     "ann_lsh_topk", "ann_ivf_topk",
@@ -194,7 +199,7 @@ GATE_ORDER = [
     "wat_ingest_server_count", "html_to_spans",
     "ann_ivfpq_rerank_topk", "ann_ivfpq_recall",
     "seen_recrawl_cuckoo", "dedup_clusters", "dedup_fuzzy_corpus",
-    "quality_repetition",
+    "quality_repetition", "media_vlad",
 ]
 
 _DRIVER_GATE_CAP = 50
