@@ -63,7 +63,8 @@ HEADLINE = [
     "simhash_hamming_pairs", "dedup_clusters",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivfpq_rerank_topk",
     "lang_id", "token_count",
-    "doc_fingerprint", "media_decode", "crawl_scheduled_2rounds",
+    "doc_fingerprint", "media_decode", "media_vlad",
+    "crawl_scheduled_2rounds",
 ]
 
 # Quiet-window raw-CPU throughput per pinned proc count (Mops/s) —
