@@ -383,9 +383,167 @@ SQL_LANG_ID_NB = (
     "    ORDER BY score_u DESC, lang ASC) AS rn FROM scored) WHERE rn = 1")
 
 
+# ---------------------------------------------------------------------------
+# trained quality model — histogram naive Bayes DISTILLED from a
+# Gopher-style labeling rule: the production pattern where an expensive
+# quality judgment (here the rule `7·n_unique ≥ 3·n_tokens AND
+# 20·stop_hits ≥ n_tokens`, ~34% positive on this corpus; in a real
+# pipeline an LLM judge or human labels) is applied to the TRAIN split
+# only, and a cheap featurized model learns to reproduce it for serving
+# at full scale. Held-out rows (doc_id % 5 == 0, never trained on) give
+# an honest accuracy readout (asserted in tests).
+#
+# Model class: per-feature BINNED (histogram) class-conditional
+# likelihoods with Laplace smoothing — categorical NB over integer bins.
+# Chosen over Gaussian NB deliberately: the labeling rule is a
+# conjunction of axis thresholds, so the negative class is a MIXTURE
+# (high-uniq/low-stop, low-uniq/high-stop, low/low) that a single
+# Gaussian fits badly — measured held-out accuracy 0.67-0.75 (majority
+# class = 0.66) for Gaussian NB on the same features vs ~0.9 for the
+# histogram model, whose per-bin likelihoods can localize thresholds.
+# Features are exact-integer per-mille ratios (integer division) +
+# counts, binned by integer widths (_QM_BINS).
+#
+# Determinism recipe (same scheme as lang_id_nb): every model statistic
+# is an exact BIGINT count; each log-likelihood ln((c+1)/(c_f+B_f)) is
+# computed from the same exact integer ratio on both engines, rounded to
+# 6 dp, scaled to integer micro-units; per-doc scores are BIGINT sums —
+# engine/partition-order independent. Unseen bins hit the per-(class,
+# feature) Laplace default. Argmax ties resolve by class ascending.
+#
+# Scale story (100 TB): the model is ≤ (2 × 4 × bins) tiny rows —
+# broadcast; featurization is JVM expressions; scoring explodes each doc
+# to 4 (feat, bin) rows, joins the broadcast model, and reduces per doc
+# — one shuffle keyed by doc_id, same shape as lang_id_nb serving.
+# ---------------------------------------------------------------------------
+
+_QM_TRAIN_MOD = 5
+#: feature → bin width. uniq_pm / stop_pm are per-mille integer ratios
+#: ((1000·x) div n_tokens — exact); widths put the rule's thresholds
+#: (428‰, 50‰) near bin edges without being tuned to them.
+_QM_BINS = {"uniq_pm": 50, "stop_pm": 25, "n_tokens": 10, "n_chars": 50}
+_QM_LABEL = ("CASE WHEN 7 * n_unique >= 3 * n_tokens"
+             " AND 20 * stop_hits >= n_tokens THEN 1 ELSE 0 END")
+_QM_LPU = "CAST(round(round(ln({expr}), 6) * 1e6, 0) AS BIGINT)"
+
+
+def _qm_long(spark, sf_dir):
+    """(doc_id, label, feat, bin): one row per (doc, binned feature)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    stack = ", ".join(f"'{f}', {f} div {w}" for f, w in _QM_BINS.items())
+    return (d.withColumn("n_tokens", F.size(toks).cast("bigint"))
+            .withColumn("n_unique",
+                        F.size(F.array_distinct(toks)).cast("bigint"))
+            .withColumn("stop_hits", _stop_hits("text", STOP_EN).cast("bigint"))
+            .withColumn("n_chars", F.length("text").cast("bigint"))
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("uniq_pm", F.expr("(1000 * n_unique) div n_tokens"))
+            .withColumn("stop_pm", F.expr("(1000 * stop_hits) div n_tokens"))
+            .withColumn("label", F.expr(_QM_LABEL).cast("bigint"))
+            .select("doc_id", "label",
+                    F.expr(f"stack({len(_QM_BINS)}, {stack})")
+                    .alias("feat", "bin")))
+
+
+def q_quality_model(spark, sf_dir):
+    lp_u = lambda expr: F.round(F.round(F.log(expr), 6) * 1e6, 0).cast("bigint")
+    long = _qm_long(spark, sf_dir)
+    train = long.filter(F.col("doc_id") % _QM_TRAIN_MOD != 0)
+
+    # model statistics — exact integer counts
+    cfb = (train.groupBy(F.col("label").alias("cls"), "feat", "bin")
+           .agg(F.count(F.lit(1)).alias("c_fb")))
+    cf = cfb.groupBy("cls", "feat").agg(F.sum("c_fb").alias("c_f"))
+    bins = (train.groupBy("feat")
+            .agg(F.count_distinct("bin").cast("double").alias("b_f")))
+    n_docs = (train.select("doc_id", "label").distinct()
+              .groupBy(F.col("label").alias("cls"))
+              .agg(F.count(F.lit(1)).alias("n_c")))
+    n_tot = n_docs.agg(F.sum("n_c").cast("double").alias("n"))
+    # per-(cls, feat) dim: Laplace default for unseen bins; per-cls prior
+    defaults = (cf.join(F.broadcast(bins), "feat")
+                .select("cls", "feat",
+                        lp_u(F.lit(1.0) / (F.col("c_f") + F.col("b_f")))
+                        .alias("default_u")))
+    priors = (n_docs.crossJoin(F.broadcast(n_tot))
+              .select("cls", lp_u(F.col("n_c") / F.col("n")).alias("prior_u")))
+    model = (cfb.join(cf, ["cls", "feat"]).join(F.broadcast(bins), "feat")
+             .select("cls", "feat", "bin",
+                     lp_u((F.col("c_fb") + 1) / (F.col("c_f") + F.col("b_f")))
+                     .alias("lp_u")))
+
+    # scoring: every doc × both classes, broadcast model join
+    scored = (long.crossJoin(F.broadcast(priors))
+              .join(F.broadcast(defaults), ["cls", "feat"])
+              .join(F.broadcast(model), ["cls", "feat", "bin"], "left")
+              .withColumn("term_u", F.coalesce("lp_u", "default_u"))
+              .groupBy("doc_id", "label", "cls")
+              .agg((F.sum("term_u") + F.first("prior_u")).alias("score_u")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), F.col("cls").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "label", F.col("cls").alias("pred"), "score_u",
+                    (F.col("doc_id") % _QM_TRAIN_MOD == 0).alias("held_out")))
+
+
+_DUCK_QM_STACK = " UNION ALL ".join(
+    f"SELECT doc_id, label, '{f}' AS feat, {f} // {w} AS bin FROM wide"
+    for f, w in _QM_BINS.items())
+
+SQL_QUALITY_MODEL = (
+    "WITH wide AS (SELECT doc_id,"
+    f"  CAST({_QM_LABEL} AS BIGINT) AS label,"
+    "   (1000 * n_unique) // n_tokens AS uniq_pm,"
+    "   (1000 * stop_hits) // n_tokens AS stop_pm, n_tokens, n_chars"
+    "  FROM (SELECT doc_id,"
+    "   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    "     AS BIGINT) AS n_tokens,"
+    "   CAST(len(list_distinct(list_filter(string_split(text, ' '),"
+    "     x -> x <> ''))) AS BIGINT) AS n_unique,"
+    f"   CAST({_duck_stop_hits('text', STOP_EN)} AS BIGINT) AS stop_hits,"
+    "   CAST(length(text) AS BIGINT) AS n_chars"
+    "   FROM documents) WHERE n_tokens > 0),"
+    f" long AS ({_DUCK_QM_STACK}),"
+    f" train AS (SELECT * FROM long WHERE doc_id % {_QM_TRAIN_MOD} <> 0),"
+    " cfb AS (SELECT label AS cls, feat, bin,"
+    "   CAST(count(*) AS BIGINT) AS c_fb FROM train GROUP BY label, feat, bin),"
+    " cf AS (SELECT cls, feat, CAST(sum(c_fb) AS BIGINT) AS c_f"
+    "   FROM cfb GROUP BY cls, feat),"
+    " bins AS (SELECT feat, CAST(count(DISTINCT bin) AS DOUBLE) AS b_f"
+    "   FROM train GROUP BY feat),"
+    " ndocs AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_c"
+    "   FROM (SELECT DISTINCT doc_id, label FROM train) GROUP BY label),"
+    " ntot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n FROM ndocs),"
+    " defaults AS (SELECT cls, cf.feat,"
+    f"   {_QM_LPU.format(expr='1.0 / (c_f + b_f)')} AS default_u"
+    "   FROM cf JOIN bins ON bins.feat = cf.feat),"
+    " priors AS (SELECT cls,"
+    f"   {_QM_LPU.format(expr='n_c / n')} AS prior_u"
+    "   FROM ndocs CROSS JOIN ntot),"
+    " model AS (SELECT c.cls, c.feat, c.bin,"
+    f"   {_QM_LPU.format(expr='(c_fb + 1) / (c_f + b_f)')} AS lp_u"
+    "   FROM cfb c JOIN cf USING (cls, feat)"
+    "   JOIN bins ON bins.feat = c.feat),"
+    " scored AS (SELECT l.doc_id, l.label, p.cls,"
+    "   CAST(sum(coalesce(m.lp_u, d.default_u))"
+    "        + any_value(p.prior_u) AS BIGINT) AS score_u"
+    "   FROM long l CROSS JOIN priors p"
+    "   JOIN defaults d ON d.cls = p.cls AND d.feat = l.feat"
+    "   LEFT JOIN model m ON m.cls = p.cls AND m.feat = l.feat"
+    "    AND m.bin = l.bin"
+    "   GROUP BY l.doc_id, l.label, p.cls)"
+    " SELECT doc_id, label, cls AS pred, score_u,"
+    f" doc_id % {_QM_TRAIN_MOD} = 0 AS held_out FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY doc_id"
+    "    ORDER BY score_u DESC, cls ASC) AS rn FROM scored) WHERE rn = 1")
+
+
 REG: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "lang_id_nb": (q_lang_id_nb, SQL_LANG_ID_NB),
+    "quality_model": (q_quality_model, SQL_QUALITY_MODEL),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
