@@ -62,7 +62,7 @@ HEADLINE = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_hamming_pairs", "dedup_clusters",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivfpq_rerank_topk",
-    "lang_id", "token_count",
+    "lang_id", "quality_model", "token_count",
     "doc_fingerprint", "media_decode", "media_vlad",
     "crawl_scheduled_2rounds",
 ]

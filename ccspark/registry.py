@@ -179,7 +179,10 @@ _MERGED.update(CRAWL_REG)
 # distinct_users_by_type stays gated (demoted for media_vlad, the VLAD
 # image-vectorization surface) — rotated out in
 # round 4 to gate the newest components: seen_recrawl_cuckoo,
-# dedup_clusters, dedup_fuzzy_corpus, quality_repetition), and the four
+# dedup_clusters, dedup_fuzzy_corpus, quality_repetition; quality_score
+# demoted for quality_model, the trained histogram-NB quality
+# classifier whose featurization strictly contains quality_score's
+# n_tokens/n_unique/stop_hits computation), and the four
 # rows-only crawl queries (no DuckDB twin by design; pinned by the
 # pure-Python oracle tests).
 GATE_ORDER = [
@@ -193,7 +196,7 @@ GATE_ORDER = [
     "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_hamming_pairs", "ngram_jaccard_topk", "ann_bruteforce_topk",
     "ann_lsh_topk", "ann_ivf_topk",
-    "classifier_eval", "lang_id", "quality_score",
+    "classifier_eval", "lang_id", "quality_model",
     "token_count", "doc_fingerprint", "char_ngrams", "media_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
     "wat_ingest_server_count", "html_to_spans",
