@@ -540,10 +540,44 @@ SQL_QUALITY_MODEL = (
     "    ORDER BY score_u DESC, cls ASC) AS rn FROM scored) WHERE rn = 1")
 
 
+def q_quality_model_eval(spark, sf_dir):
+    """Confusion counts + F1 for the distilled quality model on the
+    HELD-OUT split only (doc_id % 5 == 0, never trained on) — the same
+    FakeArffCreator confusion arithmetic as classifier_eval
+    (similarity.confusion_f1), so the eval itself is reference-parity.
+    One row; integer counts; each F1 is a single BIGINT-ratio division
+    (exact cross-engine)."""
+    from .similarity import confusion_f1
+    pred = q_quality_model(spark, sf_dir).filter(F.col("held_out"))
+    return confusion_f1(pred.select(
+        (F.col("pred") == 1).alias("pred_big"),
+        (F.col("label") == 1).alias("truth_big")))
+
+
+SQL_QUALITY_MODEL_EVAL = (
+    "WITH d AS (SELECT pred = 1 AS pred_big, label = 1 AS truth_big"
+    f" FROM ({SQL_QUALITY_MODEL}) WHERE held_out),"
+    " m AS (SELECT"
+    "  CAST(sum(CASE WHEN truth_big AND pred_big THEN 1 ELSE 0 END) AS BIGINT) AS tp_big,"
+    "  CAST(sum(CASE WHEN truth_big AND NOT pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fn_big,"
+    "  CAST(sum(CASE WHEN NOT truth_big AND pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fp_big,"
+    "  CAST(sum(CASE WHEN NOT truth_big AND NOT pred_big THEN 1 ELSE 0 END) AS BIGINT) AS tp_small,"
+    "  CAST(sum(CASE WHEN NOT truth_big AND pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fn_small,"
+    "  CAST(sum(CASE WHEN truth_big AND NOT pred_big THEN 1 ELSE 0 END) AS BIGINT) AS fp_small"
+    "  FROM d)"
+    " SELECT tp_big, fn_big, fp_big, tp_small, fn_small, fp_small,"
+    "  2 * tp_big / (2 * tp_big + fn_big + fp_big) AS f1_big,"
+    "  2 * tp_small / (2 * tp_small + fn_small + fp_small) AS f1_small,"
+    "  (2 * tp_big / (2 * tp_big + fn_big + fp_big)"
+    "   + 2 * tp_small / (2 * tp_small + fn_small + fp_small)) / 2 AS f1_avg"
+    " FROM m")
+
+
 REG: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "lang_id_nb": (q_lang_id_nb, SQL_LANG_ID_NB),
     "quality_model": (q_quality_model, SQL_QUALITY_MODEL),
+    "quality_model_eval": (q_quality_model_eval, SQL_QUALITY_MODEL_EVAL),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
