@@ -551,13 +551,18 @@ def _pq_codebooks(spark, sf_dir, sub: DataFrame | None = None) -> DataFrame:
         cbv = cb.withColumn("cvv", F.expr(_DOT.format(a="cv", b="cv")))
         pd = F.round(F.col("svv") - 2 * F.expr(_DOT.format(a="sv", b="cv"))
                      + F.col("cvv"), 6)
-        w = Window.partitionBy("vec_id", "m").orderBy(
-            F.col("pd").asc(), F.col("code").asc())
+        # argmin by (pd, code) as a map-side-combinable min(struct):
+        # identical pick to the DuckDB twin's row_number ORDER BY pd, code
+        # (code is unique per group, so the trailing sv never compares),
+        # but the partial agg collapses the PQ_K candidate rows per
+        # (vector, subspace) before the shuffle instead of sorting them
+        # through a window exchange each Lloyd iteration.
         assign = (sub.join(F.broadcast(cbv), "m")
                   .withColumn("pd", pd)
-                  .withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select("vec_id", "m", "code", "sv"))
+                  .groupBy("vec_id", "m")
+                  .agg(F.min(F.struct("pd", "code", "sv")).alias("mn"))
+                  .select("vec_id", "m", F.col("mn.code").alias("code"),
+                          F.col("mn.sv").alias("sv")))
         means = (assign.groupBy("m", "code")
                  .agg(F.sort_array(F.collect_list(F.struct("vec_id", "sv")))
                       .alias("arr"),
@@ -581,13 +586,12 @@ def _pq_codes(spark, sf_dir, sub: DataFrame | None = None,
     cb = cb.withColumn("cvv", F.expr(_DOT.format(a="cv", b="cv")))
     pd = F.round(F.col("svv") - 2 * F.expr(_DOT.format(a="sv", b="cv"))
                  + F.col("cvv"), 6)
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("pd").asc(), F.col("code").asc())
+    # same min(struct) argmin as the Lloyd loop (see _pq_codebooks)
     return (sub.join(F.broadcast(cb), "m")
             .withColumn("pd", pd)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "code"))
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("pd", "code")).alias("mn"))
+            .select("vec_id", "m", F.col("mn.code").alias("code")))
 
 
 def _pq_shared(spark, sf_dir):
