@@ -1,39 +1,230 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video payloads are opaque `binary` columns. The container has
-no decode libraries, so the decode step is a clearly-marked deterministic
-fake behind the same batch interface a real decoder would use — the
-Spark-side plumbing (schema, Arrow batch shape, mapInPandas signature,
-partition behavior) is real and oracle-checked:
+Image/audio/video payloads are opaque `binary` columns, decoded and
+feature-extracted inside mapInPandas Arrow batches.
 
-- `q_media_decode` runs a mapInPandas "decoder" over binary payloads
-  synthesized from the documents table, emitting typed metadata rows;
-- `decode_image_real` is the production hook and raises
-  NotImplementedError (no PIL/ffmpeg in-container).
+Two decode tiers (both oracle-checked at value level):
+
+- **Real codecs** (r4, ccspark/imagecodec.py): PNG — chunk walk, CRC-32
+  verification, zlib inflate, full five-filter scanline reconstruction —
+  and RIFF/WAV PCM16 via the stdlib `wave` module. `q_media_png_decode`,
+  `q_media_png_hist`, `q_media_png_resize` and `q_media_wav_features`
+  synthesize *genuine container bytes* per document (pixels/samples from
+  a documented closed-form formula), run the real decoder, and compute
+  stats from the DECODED buffer — so the DuckDB twin (the same formula
+  in SQL) verifies the codec itself, end to end, at value level.
+- **Deterministic fake** (`q_media_decode`): the r3 stand-in for formats
+  that need a native library (JPEG/WebP/H.264 — no PIL/ffmpeg in this
+  container); kept because it pins the batch-interface contract a native
+  decoder drops into.
 
 At 100 TB the payload column dominates storage; the plan keeps it pruned
-(the scan reads only doc_id+text here; a real table would store payloads
-in their own parquet column chunk, read only by the decode stage).
+(the scan reads only doc_id here; a real table stores payloads in their
+own parquet column chunk, read only by the decode stage). Decode work is
+embarrassingly parallel per document — no shuffle anywhere except the
+12-key histogram aggregation, which partial-aggregates map-side.
+
+Reference parity: ImageVectorization.java / IndexingManager.java consume
+javax.imageio pixel buffers; q_media_png_decode is the Spark-side stage
+that produces those buffers (cited for parity, not ported).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
 from .analytics import t
+from .imagecodec import decode_media, png_decode, png_encode, wav_decode, \
+    wav_encode
 
 DECODE_SCHEMA = ("doc_id bigint, n_bytes bigint, fake_width bigint, "
                  "fake_height bigint, n_frames bigint")
 
 
-def decode_image_real(payload: bytes) -> dict:
-    """Production decode hook (PIL/libvips). Not available in-container."""
-    raise NotImplementedError(
-        "image decode requires PIL/libvips, not installed in this container; "
-        "the pipeline uses the deterministic fake below")
+def decode_image_real(payload: bytes):
+    """Production decode hook. PNG and WAV decode for real in-container
+    (imagecodec.decode_media); native-library formats still raise."""
+    return decode_media(payload)
+
+
+# --------------------------------------------------------------------------
+# deterministic payload synthesis (the closed form IS the oracle)
+# --------------------------------------------------------------------------
+# image: w = 8 + doc_id % 5, h = 6 + doc_id % 4,
+#        px(r, c, ch) = (doc_id*31 + r*7 + c*3 + ch*11) % 256
+# audio: n = 64 + doc_id % 33, v(i) = ((doc_id*13 + i*37) % 4096) - 2048
+
+def synth_image(doc_id: int) -> np.ndarray:
+    w, h = 8 + doc_id % 5, 6 + doc_id % 4
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((doc_id * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(np.uint8)
+
+
+def synth_samples(doc_id: int) -> np.ndarray:
+    i = np.arange(64 + doc_id % 33, dtype=np.int64)
+    return (((doc_id * 13 + i * 37) % 4096) - 2048).astype(np.int16)
+
+
+_PX_CTE = (
+    "WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h"
+    "           FROM documents),"
+    " px AS (SELECT doc_id, w, h,"
+    "               (doc_id*31 + r.r*7 + c.c*3 + ch.ch*11) % 256 AS p,"
+    "               r.r AS r, c.c AS c, ch.ch AS ch"
+    "        FROM d,"
+    "        LATERAL (SELECT unnest(generate_series(0, h-1)) AS r) r,"
+    "        LATERAL (SELECT unnest(generate_series(0, w-1)) AS c) c,"
+    "        LATERAL (SELECT unnest(generate_series(0, 2)) AS ch) ch)")
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]):
+    """Shared encode→REAL-decode loop: yields (doc_id, decoded array).
+    The encode side cycles all five PNG filter types (imagecodec), so
+    every document exercises the full unfilter spec."""
+    for pdf in batches:
+        for doc_id in pdf["doc_id"].astype("int64"):
+            yield int(doc_id), png_decode(png_encode(synth_image(int(doc_id))))
+
+
+def q_media_png_decode(spark, sf_dir):
+    """Real PNG decode: synthesize genuine PNG bytes per document, decode
+    them with the in-repo codec (CRC walk + inflate + five-filter
+    reconstruction), and emit stats OF THE DECODED PIXELS. The oracle
+    computes the same stats from the pixel formula — any codec defect
+    (filter math, chunk framing, stride) breaks the value hash."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, arr in _decode_batches(iter([pdf])):
+                out.append((doc_id, arr.shape[1], arr.shape[0],
+                            int(arr.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pix_sum"])
+
+    return docs.mapInPandas(
+        decode, schema="doc_id bigint, width bigint, height bigint, "
+                       "pix_sum bigint")
+
+
+SQL_MEDIA_PNG_DECODE = (
+    _PX_CTE +
+    " SELECT doc_id, w AS width, h AS height,"
+    " CAST(SUM(p) AS BIGINT) AS pix_sum"
+    " FROM px GROUP BY doc_id, w, h")
+
+
+def q_media_png_hist(spark, sf_dir):
+    """Feature extraction over decoded pixels: corpus-wide 4-bin
+    per-channel histogram. Each Arrow batch emits 12 partial-count rows
+    (np.bincount over the decoded buffer), then a 12-key groupBy sums —
+    map-side partial aggregation, shuffle moves O(batches × 12) rows."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def hist(batches):
+        for pdf in batches:
+            counts = np.zeros((3, 4), dtype=np.int64)
+            for _doc_id, arr in _decode_batches(iter([pdf])):
+                for chn in range(3):
+                    counts[chn] += np.bincount(
+                        arr[:, :, chn].ravel() >> 6, minlength=4)
+            yield pd.DataFrame(
+                [(chn, b, int(counts[chn, b]))
+                 for chn in range(3) for b in range(4)],
+                columns=["ch", "bin", "cnt"])
+
+    return (docs.mapInPandas(hist, schema="ch bigint, bin bigint, cnt bigint")
+            .groupBy("ch", "bin").agg(F.sum("cnt").alias("cnt")))
+
+
+SQL_MEDIA_PNG_HIST = (
+    _PX_CTE +
+    " SELECT ch, p // 64 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt"
+    " FROM px GROUP BY ch, p // 64")
+
+_OUT_H, _OUT_W = 3, 4
+
+
+def q_media_png_resize(spark, sf_dir):
+    """Nearest-neighbor resize of the decoded image to a fixed 3×4
+    thumbnail (numpy index gather over the decoded buffer; src index
+    (r_out*h)//3, (c_out*w)//4), emitting the thumbnail pixel sum."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def resize(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, arr in _decode_batches(iter([pdf])):
+                h, w, _ = arr.shape
+                ri = (np.arange(_OUT_H) * h) // _OUT_H
+                ci = (np.arange(_OUT_W) * w) // _OUT_W
+                thumb = arr[np.ix_(ri, ci)]
+                out.append((doc_id, int(thumb.astype(np.int64).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "thumb_sum"])
+
+    return docs.mapInPandas(resize,
+                            schema="doc_id bigint, thumb_sum bigint")
+
+
+SQL_MEDIA_PNG_RESIZE = (
+    "WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h"
+    "           FROM documents),"
+    " tp AS (SELECT doc_id,"
+    "   (doc_id*31 + ((ro.ro*h)//3)*7 + ((co.co*w)//4)*3 + ch.ch*11) % 256"
+    "     AS p"
+    "   FROM d,"
+    "   LATERAL (SELECT unnest(generate_series(0, 2)) AS ro) ro,"
+    "   LATERAL (SELECT unnest(generate_series(0, 3)) AS co) co,"
+    "   LATERAL (SELECT unnest(generate_series(0, 2)) AS ch) ch)"
+    " SELECT doc_id, CAST(SUM(p) AS BIGINT) AS thumb_sum"
+    " FROM tp GROUP BY doc_id")
+
+
+def q_media_wav_features(spark, sf_dir):
+    """Real audio decode: synthesize RIFF/WAV PCM16 bytes per document
+    (stdlib wave), decode them back, and compute features of the DECODED
+    samples — length, energy (sum of squares, exact integer), and
+    zero-crossing count. Oracle = the sample formula in SQL."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def feats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                payload = wav_encode(synth_samples(int(doc_id)))
+                v, _rate = wav_decode(payload)
+                v = v.astype(np.int64)
+                zc = int(np.sum((v[:-1] < 0) != (v[1:] < 0)))
+                out.append((int(doc_id), len(v), int(np.sum(v * v)), zc))
+            yield pd.DataFrame(out, columns=["doc_id", "n_samples",
+                                             "energy", "zero_crossings"])
+
+    return docs.mapInPandas(
+        feats, schema="doc_id bigint, n_samples bigint, energy bigint, "
+                      "zero_crossings bigint")
+
+
+SQL_MEDIA_WAV_FEATURES = (
+    "WITH d AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),"
+    " s AS (SELECT doc_id, i.i AS i,"
+    "              ((doc_id*13 + i.i*37) % 4096) - 2048 AS v"
+    "       FROM d,"
+    "       LATERAL (SELECT unnest(generate_series(0, n-1)) AS i) i),"
+    " lg AS (SELECT doc_id, v,"
+    "               LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev"
+    "        FROM s)"
+    " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,"
+    "        CAST(SUM(v*v) AS BIGINT) AS energy,"
+    "        CAST(SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)"
+    "                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings"
+    " FROM lg GROUP BY doc_id")
 
 
 def _fake_decode(payloads: pd.Series) -> pd.DataFrame:
@@ -92,4 +283,8 @@ SQL_MEDIA_FRAME_SAMPLE = (
 REG: dict[str, tuple] = {
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "media_png_decode": (q_media_png_decode, SQL_MEDIA_PNG_DECODE),
+    "media_png_hist": (q_media_png_hist, SQL_MEDIA_PNG_HIST),
+    "media_png_resize": (q_media_png_resize, SQL_MEDIA_PNG_RESIZE),
+    "media_wav_features": (q_media_wav_features, SQL_MEDIA_WAV_FEATURES),
 }

@@ -182,7 +182,10 @@ _MERGED.update(CRAWL_REG)
 # dedup_clusters, dedup_fuzzy_corpus, quality_repetition; quality_score
 # demoted for quality_model, the trained histogram-NB quality
 # classifier whose featurization strictly contains quality_score's
-# n_tokens/n_unique/stop_hits computation), and the four
+# n_tokens/n_unique/stop_hits computation; media_decode — the r3
+# deterministic-fake decoder — demoted for media_png_decode, the REAL
+# in-repo PNG codec (CRC walk + inflate + five-filter reconstruction)
+# whose oracle verifies the decoded pixels at value level), and the four
 # rows-only crawl queries (no DuckDB twin by design; pinned by the
 # pure-Python oracle tests).
 GATE_ORDER = [
@@ -197,7 +200,7 @@ GATE_ORDER = [
     "simhash_hamming_pairs", "ngram_jaccard_topk", "ann_bruteforce_topk",
     "ann_lsh_topk", "ann_ivf_topk",
     "classifier_eval", "lang_id", "quality_model",
-    "token_count", "doc_fingerprint", "char_ngrams", "media_decode",
+    "token_count", "doc_fingerprint", "char_ngrams", "media_png_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
     "wat_ingest_server_count", "html_to_spans",
     "ann_ivfpq_rerank_topk", "ann_ivfpq_recall",
