@@ -63,7 +63,8 @@ HEADLINE = [
     "simhash_hamming_pairs", "dedup_clusters",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivfpq_rerank_topk",
     "lang_id", "quality_model", "token_count",
-    "doc_fingerprint", "media_decode", "media_vlad",
+    "doc_fingerprint", "media_png_decode", "media_vlad",
+    "events_sessionize",
     "crawl_scheduled_2rounds",
 ]
 

@@ -664,6 +664,78 @@ SQL_EVENTS_DAILY = (
 
 
 # ---------------------------------------------------------------------------
+# gap-based sessionization — the classic large-scale event-stream operator
+# (per-key sessions split on a 30-minute inactivity gap). One shuffle on
+# the session key (user_id); both the lag/cumsum window and the per-session
+# rollup reuse that partitioning, so Catalyst plans a single exchange. At
+# 100 TB this is the standard shape: sessions never materialize globally,
+# each user's timeline sorts within its partition. Skewed power users are
+# bounded by per-user event counts, not corpus size; the streaming twin is
+# a session window with watermark (F.session_window, same semantics).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def q_events_sessionize(spark, sf_dir):
+    # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC (get_spark), so
+    # the cast is the identity wall-clock→instant map DuckDB's epoch_ms
+    # applies to naive timestamps
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    new_sess = F.when(
+        F.col("ms") - F.lag("ms").over(w) > SESSION_GAP_MS, 1
+    ).otherwise(0)
+    sess = (ev.withColumn("sess",
+                          F.sum(new_sess).over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "sess")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max("ms") - F.min("ms")).alias("duration_ms"))
+            .select("user_id", F.col("sess").cast("bigint").alias("session"),
+                    "n_events", "duration_ms"))
+
+
+SQL_EVENTS_SESSIONIZE = (
+    "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),"
+    " g AS (SELECT user_id, ms, CASE WHEN ms - LAG(ms) OVER"
+    "   (PARTITION BY user_id ORDER BY ms, event_id) > 1800000"
+    "   THEN 1 ELSE 0 END AS new_sess FROM e),"
+    " s AS (SELECT user_id, ms, SUM(new_sess) OVER"
+    "   (PARTITION BY user_id ORDER BY ms"
+    "    ROWS UNBOUNDED PRECEDING) AS sess FROM g)"
+    " SELECT user_id, CAST(sess AS BIGINT) AS session,"
+    " CAST(COUNT(*) AS BIGINT) AS n_events,"
+    " CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms"
+    " FROM s GROUP BY user_id, sess")
+
+
+def q_events_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles (p50/p95/p99, linear
+    interpolation — F.percentile ≡ DuckDB quantile_cont). Exact
+    percentile sorts each group; at 100 TB the serving path swaps in
+    approx_percentile (t-digest sketch, mergeable map-side) behind the
+    same column contract — the exact twin stays as the correctness
+    yardstick at test scale, the same pattern as A6's exact/approx
+    distinct pair."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile("value", F.lit(p)), 4)
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.5, 0.95, 0.99)]))
+
+
+SQL_EVENTS_PERCENTILES = (
+    "SELECT event_type,"
+    " round(quantile_cont(value, 0.50), 4) AS p50,"
+    " round(quantile_cont(value, 0.95), 4) AS p95,"
+    " round(quantile_cont(value, 0.99), 4) AS p99"
+    " FROM events GROUP BY event_type")
+
+
+# ---------------------------------------------------------------------------
 # X3 oracle-checked — the graft-pivot span extraction on an interleaved
 # spans table synthesized deterministically from the flat documents table.
 # The Spark side builds real array<struct> spans and runs the REAL
@@ -764,6 +836,8 @@ REG: dict[str, tuple] = {
     "fetch_sim": (q_fetch_sim, SQL_FETCH_SIM),
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),
     "url_words": (q_url_words, SQL_URL_WORDS),
     "fetch_worthy": (q_fetch_worthy, SQL_FETCH_WORTHY),
     "http_body_split": (q_http_body_split, SQL_HTTP_BODY_SPLIT),
