@@ -180,3 +180,32 @@ def discovery_rate(spark: SparkSession, landing_dir: str,
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window), F.col("kind"))
             .agg(F.count(F.lit(1)).alias("candidates")))
+
+
+def discovery_sessions(spark: SparkSession, landing_dir: str,
+                       gap: str = "30 minutes",
+                       watermark: str = "2 hours",
+                       max_files_per_trigger: int = 10) -> DataFrame:
+    """Streaming sessionization: per-source-host discovery sessions via
+    `F.session_window` — the streaming twin of the batch
+    analytics.q_events_sessionize (identical gap semantics; equivalence
+    pinned in test_streaming). Where the batch operator sorts a static
+    timeline and splits on lag > gap, the session window MERGES
+    dynamically as events arrive in any order, and the watermark
+    finalizes a session once event time passes its close by `watermark`
+    — which is also what bounds state on an unbounded crawl: open
+    sessions only, not history.
+
+    Pre-event-time rows (null event_ms) are excluded: a session is an
+    event-time construct, and the discovery_rate query already counts
+    those rows on its processing-time fallback path.
+    """
+    host = F.lower(F.regexp_extract(
+        "page_url", r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:www\.)?([^/?#]*)", 1))
+    return (candidate_stream(spark, landing_dir, max_files_per_trigger)
+            .withColumn("ts", F.timestamp_millis("event_ms"))
+            .filter(F.col("ts").isNotNull())
+            .withColumn("host", host)
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), F.col("host"))
+            .agg(F.count(F.lit(1)).alias("n_candidates")))

@@ -353,3 +353,64 @@ def test_host_budget_stream_host_key_normalization(spark, tmp_path):
                got.groupBy("host_key").agg(F.count(F.lit(1)).alias("n")).collect()}
     # one shared budget for the a.com variants; one budget PER schemeless row
     assert by_host == {"a.com": 2, "not-a-url-1": 1, "not-a-url-2": 1}
+
+
+def test_session_window_equals_batch_sessionizer(spark, sf_dir):
+    """Cross-implementation equivalence: Spark's native F.session_window
+    (the streaming sessionizer's core, run here in batch mode) must
+    produce the same per-user session multiset {(n_events, duration_ms)}
+    as analytics.q_events_sessionize's lag + running-sum construction —
+    two independent implementations of the 30-minute-gap semantics."""
+    from ccspark.analytics import q_events_sessionize, t as tbl
+
+    batch = {(r.user_id, r.n_events, r.duration_ms)
+             for r in q_events_sessionize(spark, sf_dir).collect()}
+
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "ts2", F.col("ts").cast("timestamp"))
+    sw = (ev.groupBy("user_id", F.session_window("ts2", "30 minutes"))
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               (F.unix_millis(F.max("ts2"))
+                - F.unix_millis(F.min("ts2"))).alias("duration_ms")))
+    native = {(r.user_id, r.n_events, r.duration_ms) for r in sw.collect()}
+    assert native == batch
+
+
+def test_discovery_sessions_stream_finalizes(spark, tmp_path):
+    """Streaming sessionization end-to-end: a burst of discoveries within
+    the gap forms ONE session; once the watermark passes its close the
+    session is finalized and appended exactly once, with the merged
+    count and the [first_event, last_event + gap) window."""
+    from ccspark.streaming import discovery_sessions
+
+    base = 1767261600000  # 2026-01-01T10:00:00Z
+    mins = 60_000
+    d = tmp_path / "landing_sess"
+    d.mkdir()
+    # f0: three events 10:00/10:10/10:25 → one merged session closing at
+    # 10:55 (last + 30m gap). f1 at 12:30 advances the watermark to
+    # 12:00 (effective next batch); f2's batch then evicts + emits the
+    # finalized session.
+    _candidate_file(d / "f0.parquet",
+                    [("http://a.example.com/1", base + 0 * mins),
+                     ("http://a.example.com/2", base + 10 * mins),
+                     ("http://a.example.com/3", base + 25 * mins)], 1_000)
+    _candidate_file(d / "f1.parquet",
+                    [("http://a.example.com/4", base + 150 * mins)], 2_000)
+    _candidate_file(d / "f2.parquet",
+                    [("http://a.example.com/5", base + 180 * mins)], 3_000)
+
+    q = (discovery_sessions(spark, str(d), gap="30 minutes",
+                            watermark="30 minutes", max_files_per_trigger=1)
+         .writeStream.format("memory").queryName("disc_sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from disc_sess").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.host == "s.example.com" and r.n_candidates == 3
+    assert int(r.session_window.start.timestamp() * 1000) == base
+    assert int(r.session_window.end.timestamp() * 1000) \
+        == base + 55 * mins
