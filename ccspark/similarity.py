@@ -924,7 +924,56 @@ SQL_ANN_IVF_RECALL = (
     " SELECT hits, total, round(hits / total, 6) AS recall FROM h, t")
 
 
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the standard storage/bandwidth cut before
+# ANN serving (4x vs float32, 8x vs the cast-to-double compute form): one
+# max-abs scale per vector, codes = round(x / scale) in [-127, 127]. At
+# 100 TB this is a pure map (no shuffle); the quantized table is what the
+# brute-force/LSH/IVF candidate scans read, with the fp32 source touched
+# only by re-rank (the same raw-vector firewall as IVFPQ's shortlist).
+# Outputs are integer-exact (code sums) plus the scale rounded to 6dp, so
+# the DuckDB twin verifies the quantizer at value level; round() ties go
+# away-from-zero in BOTH engines (Spark HALF_UP on positives+negatives ≡
+# DuckDB ties-away).
+# ---------------------------------------------------------------------------
+
+def q_emb_int8_quantize(spark, sf_dir):
+    e = emb(spark, sf_dir)
+    max_abs = F.expr("aggregate(v, CAST(0.0 AS DOUBLE),"
+                     " (acc, x) -> greatest(acc, abs(x)))")
+    codes = F.expr("transform(v, x -> CAST(round(x / scale) AS BIGINT))")
+    return (e.withColumn("scale",
+                         F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0))
+            .withColumn("codes", codes)
+            .select("vec_id", F.round("scale", 6).alias("scale"),
+                    F.expr("aggregate(codes, 0L, (a, x) -> a + x)")
+                    .alias("code_sum"),
+                    F.expr("aggregate(codes, 0L, (a, x) -> a + abs(x))")
+                    .alias("code_l1"),
+                    F.expr("aggregate(codes, 0L, (a, x) ->"
+                           " a + CAST(abs(x) > 127 AS BIGINT))")
+                    .alias("overflow")))
+
+
+SQL_EMB_INT8_QUANTIZE = (
+    "WITH q AS (SELECT vec_id, v,"
+    "  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0"
+    "    AS scale"
+    f"  FROM ({_DUCK_EMB})),"
+    " c AS (SELECT vec_id, scale,"
+    "   list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS codes"
+    "  FROM q)"
+    " SELECT vec_id, round(scale, 6) AS scale,"
+    "  CAST(list_sum(codes) AS BIGINT) AS code_sum,"
+    "  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)"
+    "    AS code_l1,"
+    "  CAST(list_sum(list_transform(codes,"
+    "    x -> CAST(abs(x) > 127 AS BIGINT))) AS BIGINT) AS overflow"
+    " FROM c")
+
+
 REG: dict[str, tuple] = {
+    "emb_int8_quantize": (q_emb_int8_quantize, SQL_EMB_INT8_QUANTIZE),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "embedding_neardup_topk": (q_embedding_neardup_topk, SQL_EMBEDDING_NEARDUP_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
