@@ -79,3 +79,45 @@ def write_tsv_gz(df: DataFrame, path: str, key: str, value: str) -> None:
     (WETWordCount.java:53-61)."""
     (df.select(F.concat_ws("\t", F.col(key), F.col(value)).alias("line"))
      .write.mode("overwrite").option("compression", "gzip").text(path))
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables — shuffle-free co-located joins (the 100 TB seen-join
+# deployment shape)
+# ---------------------------------------------------------------------------
+
+def write_bucketed(df: DataFrame, name: str, key: str, buckets: int,
+                   mode: str = "overwrite") -> None:
+    """Persist `df` as a BUCKETED catalog table: rows are hash-clustered
+    into `buckets` files per partition by `key` and sorted within each
+    bucket, and the layout is recorded in the catalog so Spark's planner
+    treats a scan as already hash-partitioned AND sorted on `key`.
+
+    This is the at-rest form of the engine's central join at 10^10 URLs:
+    the seen/frontier state tables already commit repartitioned by their
+    `bucket` column (tables.py), but plain parquet forgets the
+    partitioning at read time, so every round's anti-join re-shuffles
+    BOTH sides. Two tables bucketed by the same key and count sort-merge
+    join with ZERO exchanges and ZERO sorts (plan-audited in
+    test_plans): the candidate batch — the small, new side — is the only
+    thing shuffled, once, at write. On a real cluster this is the
+    difference between moving 12 GiB of state per round and moving none
+    of it.
+
+    The write repartitions by the bucket key first so each bucket is ONE
+    file: Spark only trusts (and plans around) the per-bucket sortBy
+    order when a bucket has a single file — with several writer tasks
+    each emitting a file per bucket, the scan would have to re-sort and
+    the join's sort-elision is lost. Readers that want the sorts elided
+    too must opt in via
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true (Spark 3+
+    hides bucket sort order from the planner by default); exchange
+    elision needs no flag.
+    """
+    (df.repartition(buckets, key).write.format("parquet").mode(mode)
+       .bucketBy(buckets, key).sortBy(key).saveAsTable(name))
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed catalog table (scan carries the bucket layout)."""
+    return spark.table(name)

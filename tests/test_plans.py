@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ccspark import analytics
 from ccspark.registry import ALL
 
@@ -142,3 +144,39 @@ class TestRound2PlanAudits:
         p = phys(A.q_ngram_pruned_vocab(spark, SF))
         assert "BroadcastNestedLoopJoin" in p
         assert "LeftAnti" in p
+
+    def test_bucketed_join_has_no_exchange_or_sort(self, spark, tmp_path):
+        """Two tables bucketed by the same key and bucket count must
+        sort-merge join with ZERO exchanges and ZERO sorts — the
+        co-located at-rest form of the 1e10-URL seen join (sources.
+        write_bucketed). Broadcast is disabled so the planner can't
+        sidestep the claim."""
+        from ccspark.sources import read_bucketed, write_bucketed
+        a = spark.range(0, 1000).withColumnRenamed("id", "k") \
+            .withColumn("va", F.col("k") * 2)
+        b = spark.range(500, 1500).withColumnRenamed("id", "k") \
+            .withColumn("vb", F.col("k") + 1)
+        write_bucketed(a, "t_bucket_a", "k", 4)
+        write_bucketed(b, "t_bucket_b", "k", 4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # Spark 3+ hides the per-bucket sortBy order from the planner
+            # by default (single-file-per-bucket is a write-side contract
+            # it no longer trusts); write_bucketed enforces one file per
+            # bucket, so the legacy flag is safe and restores sort elision
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+            j = read_bucketed(spark, "t_bucket_a").join(
+                read_bucketed(spark, "t_bucket_b"), "k")
+            p = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in p, p[:2000]
+            assert "Exchange" not in p, p[:2000]
+            assert "Sort" not in p.replace("SortMergeJoin", "SMJ"), p[:2000]
+            assert j.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+            spark.sql("drop table if exists t_bucket_a")
+            spark.sql("drop table if exists t_bucket_b")

@@ -171,3 +171,26 @@ class TestConnectedComponents:
     def test_cycle_converges(self, spark):
         labels = self._cc(spark, 4, [(0, 1), (1, 2), (2, 3), (3, 0)])
         assert labels == {i: 0 for i in range(4)}
+
+
+class TestPngCodecProperties:
+    @given(h=st.integers(1, 12), w=st.integers(1, 12),
+           seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip(self, h, w, seed):
+        """decode(encode(img)) == img for arbitrary shapes and pixel
+        content; the encoder cycles filter types per row, so taller
+        images exercise every unfilter path."""
+        from ccspark.imagecodec import png_decode, png_encode
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+
+    @given(n=st.integers(0, 300), seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip(self, n, seed):
+        from ccspark.imagecodec import wav_decode, wav_encode
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        v, rate = wav_decode(wav_encode(s))
+        assert rate == 8000 and np.array_equal(v, s)
