@@ -15,8 +15,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from . import (analytics, dedup, htmlspans, multimodal, similarity, textops,
-               vlad, warc)
+from . import (analytics, dedup, htmlspans, incremental, multimodal,
+               similarity, textops, vlad, warc)
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -151,7 +151,8 @@ CRAWL_REG = {
 # ---------------------------------------------------------------------------
 
 _MERGED: dict[str, tuple] = {}
-for mod in (analytics, dedup, similarity, textops, multimodal, warc,
+for mod in (analytics, dedup, incremental, similarity, textops, multimodal,
+            warc,
             htmlspans, vlad):
     overlap = _MERGED.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
