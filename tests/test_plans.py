@@ -180,3 +180,38 @@ class TestRound2PlanAudits:
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
             spark.sql("drop table if exists t_bucket_a")
             spark.sql("drop table if exists t_bucket_b")
+
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """Skew story, AQE half (SCALE.md: 'salting or AQE skew-join'):
+        with adaptive skew-join on, a hot key whose shuffle partition
+        dwarfs the median is SPLIT at runtime — the final adaptive plan
+        carries the skew=true marker instead of one straggler task. The
+        round loop itself runs AQE-off with salted budgets (politeness);
+        this pins the AQE path the analytical joins use."""
+        confs = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            big = spark.range(0, 200000).select(
+                F.when(F.col("id") % 4 != 0, F.lit(0))
+                .otherwise(F.col("id")).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+            small = spark.range(0, 200000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            j = big.join(small, "k")
+            assert len(j.collect()) == 200000
+            p = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in p
+            assert "skew=true" in p, p[:2000]
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
