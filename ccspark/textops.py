@@ -573,7 +573,66 @@ SQL_QUALITY_MODEL_EVAL = (
     " FROM m")
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — the classic feature-selection / keyword-extraction op
+# for a training-data pipeline. The score is the LOG-FREE rational form
+# tf · N / df (monotone in idf for fixed tf, same top-k ordering family):
+# all three factors are small integers, so the double product is exact and
+# the DuckDB twin matches bit-for-bit — no libm log whose last-ulp can
+# differ across engines. Two shuffles at scale: (doc, word) tf counts,
+# then word → df join (df table is distinct-words-sized; broadcast-able
+# when the vocab is capped); top-k per doc rides WindowGroupLimit.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.expr(
+        "filter(split(text, ' '), x -> x <> '')")).alias("word"))
+    # tf is persisted and df derived FROM it (tf rows ≡ distinct
+    # (doc, word) pairs): one corpus tokenization pass feeds both sides
+    # instead of a second explode+distinct shuffle
+    tf = (words.groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("tf"))).persist()
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (tf.join(df_, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.round(F.col("tf") * F.col("n") / F.col("df"), 6)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_TOP_K)
+            .select("doc_id", "word", "tf", "df", "score",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM words GROUP BY word),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df, round(tf * n / df, 6) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word ASC) AS rank
+  FROM scored)
+SELECT doc_id, word, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
+
+
 REG: dict[str, tuple] = {
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "lang_id_nb": (q_lang_id_nb, SQL_LANG_ID_NB),
     "quality_model": (q_quality_model, SQL_QUALITY_MODEL),
