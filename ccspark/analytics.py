@@ -575,6 +575,75 @@ SQL_POLITENESS_BUDGET = (
     "  FROM customer) WHERE _rn <= budget")
 
 # ---------------------------------------------------------------------------
+# crawl-trap detection — URL-pattern explosion guard
+#
+# Real crawlers must detect hosts that mint unbounded unique URLs from
+# bounded content (calendar pages, session-id links, faceted search) and
+# stop feeding them into the frontier. Signal: per host, the ratio of
+# distinct URLs to distinct URL TEMPLATES (path with digit runs collapsed,
+# query string stripped). An honest host's pagination collapses to a few
+# templates with few URLs each; a trap host's session/calendar component
+# collapses to one template carrying thousands of URLs.
+#
+# URLs are synthesized from `orders` with the same deterministic-recipe
+# trick as url_hosts: hosts h0..h39, every 7th host is a "trap" whose
+# path embeds the unique o_orderkey (a session id), the rest paginate
+# over a bounded page number. ratio_pm is the integer per-mille ratio
+# (1000·n_urls div n_templates — exact); trap fires at ≥ 20 URLs per
+# template.
+#
+# Scale story (100 TB): two count_distinct aggregations keyed by
+# host_key (Spark expands to partial-distinct per partition — map-side
+# combine); output is hosts-sized. The trap list then joins the frontier
+# as a broadcast anti-join — the same shape the engine's robots
+# disallow-list already uses.
+# ---------------------------------------------------------------------------
+
+_TRAP_URL = ("concat('http://h', CAST(o_custkey % 40 AS STRING), "
+             "'.shop.example', "
+             "CASE WHEN (o_custkey % 40) % 7 = 0 "
+             " THEN concat('/cal/', CAST(o_orderkey AS STRING), '?sid=',"
+             "             CAST(o_orderkey % 997 AS STRING)) "
+             " ELSE concat('/', lower(o_orderstatus), '/page/',"
+             "             CAST(o_orderkey % 5 AS STRING)) END)")
+_TRAP_URL_DUCK = _TRAP_URL.replace(" AS STRING", " AS VARCHAR")
+TRAP_RATIO_PM = 20_000  # ≥ 20 distinct URLs per template ⇒ trap
+
+
+def q_trap_hosts(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").withColumn("url", F.expr(_TRAP_URL))
+    host = F.regexp_extract("url", HOST_RE, 1)
+    # template: strip the query, collapse digit runs in the path
+    tmpl = F.regexp_replace(
+        F.regexp_replace("url", r"\?.*$", ""), r"[0-9]+", "N")
+    agg = (o.select(host.alias("host_key"), F.col("url"),
+                    tmpl.alias("tmpl"))
+           .groupBy("host_key")
+           .agg(F.countDistinct("url").alias("n_urls"),
+                F.countDistinct("tmpl").alias("n_templates")))
+    ratio = F.expr("(1000 * n_urls) div n_templates").cast("bigint")
+    return agg.select(
+        "host_key", F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_templates").cast("bigint").alias("n_templates"),
+        ratio.alias("ratio_pm"),
+        (ratio >= TRAP_RATIO_PM).alias("trap"))
+
+
+SQL_TRAP_HOSTS = f"""
+WITH u AS (SELECT {_TRAP_URL_DUCK} AS url FROM orders),
+agg AS (
+  SELECT regexp_extract(url, '{HOST_RE}', 1) AS host_key,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT regexp_replace(
+             regexp_replace(url, '\\?.*$', ''), '[0-9]+', 'N', 'g'))
+           AS BIGINT) AS n_templates
+  FROM u GROUP BY 1)
+SELECT host_key, n_urls, n_templates,
+       CAST((1000 * n_urls) // n_templates AS BIGINT) AS ratio_pm,
+       (1000 * n_urls) // n_templates >= {TRAP_RATIO_PM} AS trap
+FROM agg"""
+
+# ---------------------------------------------------------------------------
 # X6 — URL → word split (scheme stripped, ≤4-char extension stripped, split
 # on /|.|-; ScoreNgramArffCreator.java:104-116) over synthesized URLs
 # ---------------------------------------------------------------------------
@@ -839,6 +908,7 @@ REG: dict[str, tuple] = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),
     "url_words": (q_url_words, SQL_URL_WORDS),
+    "trap_hosts": (q_trap_hosts, SQL_TRAP_HOSTS),
     "fetch_worthy": (q_fetch_worthy, SQL_FETCH_WORTHY),
     "http_body_split": (q_http_body_split, SQL_HTTP_BODY_SPLIT),
     "distinct_users_by_type": (q_distinct_users_by_type, SQL_DISTINCT_USERS_BY_TYPE),

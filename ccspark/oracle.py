@@ -15,6 +15,7 @@ floats and strings are bit-identical by construction.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -80,6 +81,7 @@ class OracleResult:
     scheduled: list[list[dict]] = field(default_factory=list)  # per round, total order
     seen: dict = field(default_factory=dict)                   # url -> first round
     domains: dict = field(default_factory=dict)                # host_key -> first round
+    traps: dict = field(default_factory=dict)                  # host_key -> first trapped round
     frontier: dict = field(default_factory=dict)               # url -> record (unscheduled)
     metrics: list[dict] = field(default_factory=list)
 
@@ -179,6 +181,31 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             else:
                 admitted.append(c)
         m["robots_blocked"] = blocked
+
+        # 2b. crawl-trap guard (mirrors CrawlEngine.run_round): template =
+        # query stripped, digit runs collapsed to 'N'; hosts whose
+        # distinct-URL/template ratio crosses the threshold on this
+        # round's admitted batch join the cumulative trap set, then ALL
+        # trapped hosts' candidates (including this round's) are dropped.
+        if params.trap_ratio_pm is not None:
+            stats: dict[str, tuple[set, set]] = {}
+            for c in admitted:
+                tm = re.sub(r"[0-9]+", "N", re.sub(r"\?.*$", "", c["url"]))
+                us, ts = stats.setdefault(c["host_key"], (set(), set()))
+                us.add(c["url"])
+                ts.add(tm)
+            n_new_traps = 0
+            for h, (us, ts) in stats.items():
+                if (h not in res.traps and len(us) >= params.trap_min_urls
+                        and (1000 * len(us)) // len(ts)
+                        >= params.trap_ratio_pm):
+                    res.traps[h] = r
+                    n_new_traps += 1
+            m["trap_hosts_new"] = n_new_traps
+            before = len(admitted)
+            admitted = [c for c in admitted
+                        if c["host_key"] not in res.traps]
+            m["trap_dropped"] = before - len(admitted)
 
         # 3. first-wins dedup within the batch (winner = best by total order,
         #    then (src_doc_id, offset) for lineage determinism), then vs seen

@@ -42,6 +42,17 @@ class CrawlParams:
     #: never wall clock — so runs stay reproducible.
     robots_max_age_ms: int | None = None
     crawl_as_of_ms: int | None = None
+    #: crawl-trap guard: a host whose admitted URLs collapse to few URL
+    #: TEMPLATES (query stripped, digit runs → 'N') while minting many
+    #: distinct URLs is a trap (calendar/session-id/faceted-search
+    #: explosion). Fires when distinct URLs ≥ trap_min_urls AND
+    #: (1000·n_urls) div n_templates ≥ trap_ratio_pm; trapped hosts are
+    #: recorded in a persistent delta table and their candidates dropped
+    #: at admission from that round on (frontier rows admitted BEFORE
+    #: detection still drain — the guard bounds growth, it is not an
+    #: eviction). None = guard off (no metric keys, no traps table).
+    trap_ratio_pm: int | None = None
+    trap_min_urls: int = 20
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

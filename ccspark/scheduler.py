@@ -154,6 +154,9 @@ class CrawlEngine:
         # U6 domain-seen set (Statistics.java:54-60): first-seen hosts,
         # same delta-chain mechanism as the URL-seen table
         self.domains_tbl = self.store.table("domains")
+        # crawl-trap host set (params.trap_ratio_pm): first-trapped hosts,
+        # same delta-chain mechanism; empty/absent when the guard is off
+        self.traps_tbl = self.store.table("traps")
         self.seeds_path = seeds_path
         robots = spark.read.parquet(robots_path)
         if (params.robots_max_age_ms is not None
@@ -196,7 +199,8 @@ class CrawlEngine:
                   ("frontier", self.frontier_tbl),
                   ("scheduled", self.scheduled_tbl),
                   ("candidates", self.candidates_tbl),
-                  ("domains", self.domains_tbl)]
+                  ("domains", self.domains_tbl),
+                  ("traps", self.traps_tbl)]
         if last is None:
             for _, t in tables:
                 t.rollback_to(0)
@@ -271,6 +275,47 @@ class CrawlEngine:
                  .observe(obs_canon, F.count(F.lit(1)).alias("n")))
         admitted = (robots_admission_filter(canon, self.robots)
                     .observe(obs_adm, F.count(F.lit(1)).alias("n")))
+        pre_trap = admitted
+
+        # crawl-trap guard (optional, params.trap_ratio_pm): per-host
+        # URL-template collapse on THIS round's admitted batch — template
+        # = query stripped, digit runs → 'N'. Hosts whose distinct-URL /
+        # distinct-template ratio crosses the explosion threshold join a
+        # persistent trap table (delta commit, same mechanism as domains)
+        # and their candidates are dropped at admission from this round
+        # on. Detection is a hosts-sized aggregate (two count_distinct
+        # with map-side partial distinct) and the drop is a broadcast
+        # anti-join — the robots disallow-list shape. Oracle mirror in
+        # ccspark.oracle (exact per-round parity tested).
+        trap_version = None
+        cached_adm = None
+        obs_kept = None
+        if p.trap_ratio_pm is not None:
+            cached_adm = admitted.cache()
+            tmpl = F.regexp_replace(
+                F.regexp_replace("url", r"\?.*$", ""), "[0-9]+", "N")
+            stats = (cached_adm.select("host_key", "url", tmpl.alias("tmpl"))
+                     .groupBy("host_key")
+                     .agg(F.countDistinct("url").alias("n_urls"),
+                          F.countDistinct("tmpl").alias("n_templates")))
+            round_traps = (stats.filter(
+                (F.col("n_urls") >= p.trap_min_urls)
+                & (F.expr("(1000 * n_urls) div n_templates")
+                   >= p.trap_ratio_pm)).select("host_key"))
+            if self.traps_tbl.exists():
+                round_traps = round_traps.join(
+                    self.traps_tbl.read_chain(), "host_key", "left_anti")
+            obs_tr = Observation()
+            new_traps = (round_traps.withColumn("first_round", F.lit(r))
+                         .observe(obs_tr, F.count(F.lit(1)).alias("n")))
+            trap_version = self.traps_tbl.commit(new_traps, r)
+            m["trap_hosts_new"] = _observed_count(obs_tr, new_traps)
+            obs_kept = Observation()
+            admitted = (cached_adm.join(
+                F.broadcast(self.traps_tbl.read_chain()
+                            .select("host_key")),
+                "host_key", "left_anti")
+                .observe(obs_kept, F.count(F.lit(1)).alias("n")))
 
         # new-seen count observed on the seen-delta commit's action
         obs_new = Observation()
@@ -279,14 +324,21 @@ class CrawlEngine:
                .observe(obs_new, F.count(F.lit(1)).alias("n"))
                .cache())
         versions = self.seen.add(new, r)
+        if trap_version is not None:
+            versions["traps"] = trap_version
         m["candidates_in"] = _observed_count(obs_in, candidates)
         n_canon = _observed_count(obs_canon, canon)
-        n_adm = _observed_count(obs_adm, admitted)
+        n_adm = _observed_count(obs_adm, pre_trap)
         m["malformed_dropped"] = m["candidates_in"] - n_canon
         m["robots_blocked"] = n_canon - n_adm
+        if obs_kept is not None:
+            n_kept = _observed_count(obs_kept, admitted)
+            m["trap_dropped"] = n_adm - n_kept
+        else:
+            n_kept = n_adm
         m["new_seen"] = _observed_count(obs_new, new)
-        m["dup_dropped"] = n_adm - m["new_seen"]
-        m["dedup_rate"] = (m["dup_dropped"] / n_adm) if n_adm else 0.0
+        m["dup_dropped"] = n_kept - m["new_seen"]
+        m["dedup_rate"] = (m["dup_dropped"] / n_kept) if n_kept else 0.0
 
         # U6: first-seen domains delta (anti-join against the domain chain)
         obs_dom = Observation()
@@ -367,7 +419,9 @@ class CrawlEngine:
             # snapshots as orphans of a crashed attempt and deletes
             # them, silently re-growing the chains it just bounded.
             self.store.commit_round(r, versions, m, batch_id=batch_id)
-        for df in (new, frontier, sched) + ((stale,) if stale is not None else ()):
+        for df in ((new, frontier, sched)
+                   + ((stale,) if stale is not None else ())
+                   + ((cached_adm,) if cached_adm is not None else ())):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
 

@@ -444,3 +444,56 @@ class TestRecrawlPolicy:
         seen = {r.url: r.first_round for r in
                 eng.seen.seen_df().select("url", "first_round").collect()}
         assert seen == oracle_recrawl.seen
+
+
+class TestTrapGuard:
+    """Crawl-trap guard (params.trap_ratio_pm): engine ≡ pure-Python
+    oracle on scheduled ordering, seen set, trap table, and the
+    trap_hosts_new / trap_dropped metrics — including cumulative
+    blocking in rounds AFTER detection."""
+
+    PARAMS = CrawlParams(rounds=4, trap_ratio_pm=2000, trap_min_urls=4)
+
+    @pytest.fixture(scope="class")
+    def oracle_trap(self, fx_small):
+        return run_oracle(fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], self.PARAMS)
+
+    def test_guard_matches_oracle(self, spark, fx_small, tmp_path,
+                                  oracle_trap):
+        # the fixture must actually trip the guard, and keep dropping in
+        # LATER rounds (persistent trap set), or the test is vacuous
+        assert sum(m["trap_hosts_new"] for m in oracle_trap.metrics) > 0
+        first_new = next(i for i, m in enumerate(oracle_trap.metrics)
+                         if m["trap_hosts_new"] > 0)
+        assert any(m["trap_dropped"] > 0
+                   for m in oracle_trap.metrics[first_new + 1:])
+
+        eng = CrawlEngine(spark, str(tmp_path / "trap"),
+                          fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], params=self.PARAMS)
+        metrics = eng.run()
+        for got, want in zip(metrics, oracle_trap.metrics):
+            for k in METRIC_KEYS + ["trap_hosts_new", "trap_dropped"]:
+                if k in want or k in got:
+                    assert got.get(k) == want.get(k), \
+                        f"round {got['round']} metric {k}"
+        got_sched = _scheduled_lists(eng)
+        for r, want in enumerate(oracle_trap.scheduled):
+            assert got_sched.get(r, []) == \
+                [(c["url"], c["priority"]) for c in want], f"round {r}"
+        seen = {r.url: r.first_round for r in
+                eng.seen.seen_df().select("url", "first_round").collect()}
+        assert seen == oracle_trap.seen
+        traps = {r.host_key: r.first_round for r in
+                 eng.traps_tbl.read_chain().collect()}
+        assert traps == oracle_trap.traps
+
+    def test_guard_off_adds_no_state(self, spark, fx_small, tmp_path):
+        eng = CrawlEngine(spark, str(tmp_path / "notrap"),
+                          fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], params=CrawlParams(rounds=2))
+        metrics = eng.run()
+        assert not eng.traps_tbl.exists()
+        assert all("trap_hosts_new" not in m and "trap_dropped" not in m
+                   for m in metrics)
