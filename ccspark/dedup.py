@@ -435,6 +435,152 @@ SQL_NGRAM_JACCARD_TOPK = (
     " ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20")
 
 
+# ---------------------------------------------------------------------------
+# duplicate-substring spans — exact substring-level dedup (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better", arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+#
+# The paper builds a corpus-wide suffix array and removes every substring of
+# ≥ 50 TOKENS that occurs more than once. A monolithic suffix array does not
+# distribute; the standard shuffle-native equivalent (same output for
+# duplicate runs aligned to token boundaries) is k-gram anchoring:
+#
+#   1. every k-token window (gram) of every document, with its position;
+#   2. grams occurring ≥ 2 times corpus-wide are "duplicated" — one
+#      hash-groupBy, shuffle O(distinct grams), the same shape as A1;
+#   3. a duplicated substring of length L ≥ k duplicates ALL of its L−k+1
+#      constituent grams, so per document the duplicated positions form
+#      runs; a gaps-and-islands window merge (partitioned BY DOC — never
+#      global) reconstructs the maximal spans [min pos, max pos + k).
+#
+# Exactness across engines: grams are plain strings (md5-keyed only inside
+# the Spark shuffle), positions are integers, the merge is integer
+# arithmetic — no floats anywhere except the final dup_frac division
+# (one int/int IEEE op, the repo's standard portable float).
+# k = 5 here (fixture docs are ~100 tokens; the paper's 50-token threshold
+# is a parameter, not a semantic).
+
+SUBSTR_K = 5
+
+_GRAMS_SPARK = (
+    "CASE WHEN size(toks) >= {k} THEN"
+    " transform(sequence(0, size(toks) - {k}),"
+    "   i -> struct(i AS pos, concat_ws(' ', slice(toks, i + 1, {k})) AS gram))"
+    " ELSE array() END"
+).format(k=SUBSTR_K)
+
+
+def gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gram) — every k-token window with its 0-based start."""
+    return (t(spark, sf_dir, "documents")
+            .withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
+            .select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("g"))
+            .select("doc_id", F.col("g.pos").alias("pos"),
+                    F.col("g.gram").alias("gram")))
+
+
+def duplicate_spans(grams: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Maximal duplicated-substring spans per document.
+
+    grams: (doc_id, pos, gram). A gram is duplicated when it occurs ≥ 2
+    times corpus-wide (across OR within documents — a within-doc repeat is
+    still a duplicated substring). Two duplicated windows at positions p <
+    q belong to one span iff q − p ≤ k (their token ranges [p, p+k),
+    [q, q+k) overlap or touch). Returns (doc_id, span_start, span_end,
+    span_len) with span_end exclusive.
+    """
+    # shuffle 1: gram multiplicity on the md5 key (64-bit-safe join key at
+    # 100 TB; the gram string itself never shuffles twice)
+    keyed = grams.withColumn("gk", F.md5("gram"))
+    dup = (keyed.groupBy("gk").agg(F.count(F.lit(1)).alias("cnt"))
+           .filter(F.col("cnt") >= 2).select("gk"))
+    hits = keyed.join(dup, "gk", "left_semi").select("doc_id", "pos")
+    # shuffle 2: per-doc window — partitioned by doc_id, never global
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (hits
+           .withColumn("brk", F.when(
+               F.lag("pos").over(w).isNull()
+               | ((F.col("pos") - F.lag("pos").over(w)) > F.lit(k)), 1)
+               .otherwise(0))
+           .withColumn("island", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(k)).alias("span_end"))
+            .select(F.col("doc_id").cast("bigint"),
+                    F.col("span_start").cast("bigint"),
+                    F.col("span_end").cast("bigint"),
+                    (F.col("span_end") - F.col("span_start"))
+                    .cast("bigint").alias("span_len")))
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    return duplicate_spans(gram_positions(spark, sf_dir))
+
+
+def q_dedup_substring_stats(spark, sf_dir):
+    """Per-document duplicated-token budget: n_tokens, tokens covered by
+    duplicated spans, and their ratio — the keep/trim decision a
+    substring-dedup pipeline ships (the paper cuts the spans; the stats
+    row is the audit record). Docs with no duplicated span appear with
+    zeros (left join)."""
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+                 .cast("bigint").alias("n_tokens")))
+    spans = (duplicate_spans(gram_positions(spark, sf_dir))
+             .groupBy("doc_id").agg(F.sum("span_len").alias("dup_tokens")))
+    return (d.join(spans, "doc_id", "left")
+            .select(F.col("doc_id").cast("bigint"), "n_tokens",
+                    F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+                    .alias("dup_tokens"))
+            .withColumn("dup_frac",
+                        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
+
+
+# 1-based DuckDB list indexing: window i covers toks[i .. i+k-1], 0-based
+# pos = i − 1; the island break and span arithmetic are identical integers.
+_GRAMS_DUCK_SQL = (
+    "SELECT doc_id, i - 1 AS pos,"
+    "  concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3],"
+    "         ' ', toks[i+4]) AS gram"
+    " FROM (SELECT doc_id, list_filter(string_split(text, ' '),"
+    "              x -> x <> '') AS toks FROM documents),"
+    "  LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)"
+    " WHERE len(toks) >= 5")
+
+_SPANS_DUCK_CTES = (
+    "grams AS (" + _GRAMS_DUCK_SQL + "),"
+    " dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),"
+    " hits AS (SELECT doc_id, pos FROM grams SEMI JOIN dup USING (gram)),"
+    " isl AS (SELECT doc_id, pos,"
+    "   CASE WHEN lag(pos) OVER w IS NULL"
+    "        OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk"
+    "   FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+    " isl2 AS (SELECT doc_id, pos, sum(brk) OVER"
+    "   (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),"
+    " spans AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+    "   CAST(min(pos) AS BIGINT) AS span_start,"
+    "   CAST(max(pos) + 5 AS BIGINT) AS span_end,"
+    "   CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len"
+    "   FROM isl2 GROUP BY doc_id, island)")
+
+SQL_DEDUP_SUBSTRING_SPANS = (
+    "WITH " + _SPANS_DUCK_CTES +
+    " SELECT doc_id, span_start, span_end, span_len FROM spans")
+
+SQL_DEDUP_SUBSTRING_STATS = (
+    "WITH " + _SPANS_DUCK_CTES + ","
+    " per_doc AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens"
+    "   FROM spans GROUP BY doc_id),"
+    " toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+    "   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    "        AS BIGINT) AS n_tokens FROM documents)"
+    " SELECT t.doc_id, t.n_tokens, coalesce(p.dup_tokens, 0) AS dup_tokens,"
+    "  round(coalesce(p.dup_tokens, 0) / t.n_tokens, 6) AS dup_frac"
+    " FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id")
+
+
 REG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -445,4 +591,8 @@ REG: dict[str, tuple] = {
     "simhash_clusters": (q_simhash_clusters, SQL_SIMHASH_CLUSTERS),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     "ngram_jaccard_topk": (q_ngram_jaccard_topk, SQL_NGRAM_JACCARD_TOPK),
+    "dedup_substring_spans": (q_dedup_substring_spans,
+                              SQL_DEDUP_SUBSTRING_SPANS),
+    "dedup_substring_stats": (q_dedup_substring_stats,
+                              SQL_DEDUP_SUBSTRING_STATS),
 }

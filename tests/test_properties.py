@@ -194,3 +194,44 @@ class TestPngCodecProperties:
         s = rng.integers(-32768, 32768, size=n).astype(np.int16)
         v, rate = wav_decode(wav_encode(s))
         assert rate == 8000 and np.array_equal(v, s)
+
+
+class TestDuplicateSpans:
+    """Pin the substring-dedup island-merge semantics on hand-built grams
+    (ccspark.dedup.duplicate_spans, k=5): overlapping duplicated windows
+    merge into one maximal span; a gap > k starts a new span; within-doc
+    repeats count toward the corpus-wide multiplicity."""
+
+    def _spans(self, spark, rows):
+        from ccspark.dedup import duplicate_spans
+        df = spark.createDataFrame(rows, "doc_id long, pos int, gram string")
+        out = duplicate_spans(df, k=5).toPandas()
+        return sorted(map(tuple, out[["doc_id", "span_start",
+                                      "span_end", "span_len"]].values))
+
+    def test_cross_doc_overlap_merges(self, spark):
+        # doc 0 positions 0..2 share grams with doc 1 → one span [0, 7)
+        rows = [(0, p, f"g{p}") for p in range(3)] + \
+               [(1, p + 10, f"g{p}") for p in range(3)]
+        assert self._spans(spark, rows) == [
+            (0, 0, 7, 7), (1, 10, 17, 7)]
+
+    def test_gap_splits_spans(self, spark):
+        # duplicated at pos 0 and pos 6 (gap 6 > k=5) → two spans
+        rows = [(0, 0, "a"), (0, 6, "b"), (1, 50, "a"), (1, 70, "b")]
+        got = self._spans(spark, rows)
+        assert (0, 0, 5, 5) in got and (0, 6, 11, 5) in got
+
+    def test_touching_windows_merge(self, spark):
+        # pos 0 and pos 5 (gap exactly k) touch: [0,5) + [5,10) → [0,10)
+        rows = [(0, 0, "a"), (0, 5, "b"), (1, 50, "a"), (1, 70, "b")]
+        assert (0, 0, 10, 10) in self._spans(spark, rows)
+
+    def test_within_doc_repeat_is_duplicate(self, spark):
+        # the same gram twice in ONE doc is corpus multiplicity 2
+        rows = [(0, 0, "x"), (0, 20, "x"), (0, 5, "unique")]
+        assert self._spans(spark, rows) == [(0, 0, 5, 5), (0, 20, 25, 5)]
+
+    def test_unique_grams_no_spans(self, spark):
+        rows = [(0, 0, "a"), (1, 0, "b")]
+        assert self._spans(spark, rows) == []
