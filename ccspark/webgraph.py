@@ -1,0 +1,231 @@
+"""Host-level web-graph analytics for crawl prioritization.
+
+The reference scores fetch candidates with a per-URL feature kernel
+(FeaturesArffCreator.java — the 23-feature priority scorer ported in
+ccspark.kernels); a production frontier additionally ranks HOSTS by link
+centrality (OPIC / PageRank-style — Cho & Garcia-Molina's crawl-ordering
+line of work; Page et al. 1999). This module adds that graph layer:
+
+- `host_edges`       — deterministic host→host link graph
+- `host_graph_degrees` — in/out degree per host
+- `host_pagerank`    — FIXED-POINT integer PageRank, bit-exact across
+                       engines (Spark / DuckDB) and across partitionings
+- `anchor_text_agg`  — per-target anchor-text profile (the classic
+                       web-search signal: what the web calls a URL)
+
+Cross-engine exactness: floating-point PageRank sums depend on addition
+order, which no distributed engine pins. The engine therefore computes
+PageRank in SCALED INTEGER arithmetic: ranks are int64 multiples of
+1e-12 (SCALE = 10^12), the damping step is `rank * 85 div 100` and the
+out-degree split is integer division — both floor operations on
+non-negative int64, identical in Spark (`div`) and DuckDB (`//`), and
+integer sums are order-independent. Max rank is bounded by
+SCALE × n_hosts ≪ 2^63 for any graph this query would see per partition.
+
+Graph derivation: the interleaved fixture's media links all target one
+CDN host (m.example.com — a star, useless for centrality), so the edge
+list is synthesized from `documents` with the repo's standard md5-nibble
+idiom (same trick as analytics.interleaved_docs): src host = doc_id % 50,
+dst host = first md5 byte of each token % 50. Deterministic, identically
+expressible in both engines, and shaped like a real host graph (skewed
+in-degrees, self-loops dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .analytics import t
+
+N_HOSTS = 50
+PR_SCALE = 10**12          # rank unit = 1e-12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_ITERS = 3
+
+
+def host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) distinct host-id edges, self-loops removed."""
+    d = t(spark, sf_dir, "documents")
+    return (d.select(
+                (F.col("doc_id") % N_HOSTS).cast("bigint").alias("src"),
+                F.explode(F.expr("filter(split(text, ' '), x -> x <> '')"))
+                .alias("word"))
+            .select("src",
+                    (F.expr("CAST(conv(substring(md5(word), 1, 2), 16, 10)"
+                            " AS BIGINT)") % N_HOSTS).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+_EDGES_DUCK = (
+    "SELECT DISTINCT CAST(doc_id % 50 AS BIGINT) AS src,"
+    "  CAST(('0x' || substr(md5(word), 1, 2))::INT % 50 AS BIGINT) AS dst"
+    " FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),"
+    "       x -> x <> '')) AS word FROM documents)"
+    " WHERE doc_id % 50 <> ('0x' || substr(md5(word), 1, 2))::INT % 50")
+
+
+def q_host_graph_degrees(spark, sf_dir):
+    """Per-host out/in degree over the distinct edge list (J6-adjacent
+    feature: the reference's same-domain / link-popularity intuition as
+    an explicit graph aggregate). Hosts appearing on only one side get 0
+    on the other (full outer join + coalesce)."""
+    e = host_edges(spark, sf_dir)
+    out_d = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (out_d.join(in_d, "host", "full")
+            .select(F.col("host").cast("bigint"),
+                    F.coalesce("out_deg", F.lit(0)).cast("bigint")
+                    .alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).cast("bigint")
+                    .alias("in_deg")))
+
+
+SQL_HOST_GRAPH_DEGREES = (
+    "WITH e AS (" + _EDGES_DUCK + "),"
+    " o AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg"
+    "       FROM e GROUP BY src),"
+    " i AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg"
+    "       FROM e GROUP BY dst)"
+    " SELECT coalesce(o.host, i.host) AS host,"
+    "  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg"
+    " FROM o FULL JOIN i ON o.host = i.host")
+
+
+def pagerank_fixed_point(nodes: DataFrame, edges: DataFrame,
+                         iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank: nodes(host), edges(src, dst) → (host, rank).
+
+    rank_0 = SCALE;
+    rank_{i+1}(v) = (SCALE × 15) div 100
+                    + Σ_{u→v} ((rank_i(u) × 85 div 100) div outdeg(u))
+
+    All int64; dangling mass (hosts with no out-edges) is dropped, the
+    standard simplification when ranks are compared, not summed to 1.
+    Each iteration is one join keyed on host + one groupBy — shuffle
+    O(edges), the scale shape of every BSP PageRank. Lineage stays
+    shallow (iters is a small constant; for large iters localCheckpoint
+    per round as in dedup.connected_components).
+    """
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src")
+    base = F.lit(PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN)
+    ranks = nodes.select("host", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e.src == ranks.host)
+                   .select(F.col("dst").alias("host"),
+                           F.expr(f"((rank * {PR_DAMP_NUM}) div {PR_DAMP_DEN})"
+                                  " div outdeg").alias("c"))
+                   .groupBy("host").agg(F.sum("c").alias("inflow")))
+        ranks = (nodes.join(contrib, "host", "left")
+                 .select("host",
+                         (base + F.coalesce("inflow", F.lit(0)))
+                         .cast("bigint").alias("rank")))
+    return ranks
+
+
+def q_host_pagerank(spark, sf_dir):
+    e = host_edges(spark, sf_dir)
+    nodes = (e.select(F.col("src").alias("host"))
+             .union(e.select(F.col("dst").alias("host"))).distinct())
+    return pagerank_fixed_point(nodes, e)
+
+
+def _pr_iter_sql(prev: str, nxt: str) -> str:
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    return (
+        f" {nxt} AS (SELECT n.host,"
+        f"  CAST({base} + coalesce(f.inflow, 0) AS BIGINT) AS rank"
+        f"  FROM nodes n LEFT JOIN ("
+        f"    SELECT e.dst AS host,"
+        f"     sum(((r.rank * {PR_DAMP_NUM}) // {PR_DAMP_DEN}) // e.outdeg)"
+        f"      AS inflow"
+        f"    FROM ew e JOIN {prev} r ON e.src = r.host GROUP BY e.dst"
+        f"  ) f ON n.host = f.host)")
+
+
+SQL_HOST_PAGERANK = (
+    "WITH e AS (" + _EDGES_DUCK + "),"
+    " nodes AS (SELECT DISTINCT src AS host FROM e"
+    "           UNION SELECT DISTINCT dst FROM e),"
+    " od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),"
+    " ew AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),"
+    f" r0 AS (SELECT host, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes),"
+    + _pr_iter_sql("r0", "r1") + "," + _pr_iter_sql("r1", "r2") + ","
+    + _pr_iter_sql("r2", "r3") +
+    " SELECT host, rank FROM r3")
+
+
+def q_anchor_text_agg(spark, sf_dir):
+    """Anchor-text profile per link target: how many links/pages point at
+    each URL and the dominant anchor text (count DESC, text ASC
+    tie-break — deterministic). The reference stores per-media alt text
+    row-by-row (MediaNodeVisitor.java:146-152 'altTxt'); aggregating it
+    per target is the classic web-search/anchor signal. Runs over the
+    oracle-shaped interleaved docs (same derivation as span_extract)."""
+    from .analytics import interleaved_docs
+    from .extract import extract_links
+
+    links = extract_links(interleaved_docs(spark, sf_dir),
+                          follow_links=True)
+    per_alt = (links.groupBy("url_raw", "alt")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.countDistinct("page_url").alias("pages")))
+    w = Window.partitionBy("url_raw").orderBy(
+        F.col("cnt").desc(), F.col("alt").asc())
+    return (per_alt
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("url_raw")
+            .agg(F.sum("cnt").cast("bigint").alias("n_links"),
+                 F.sum("pages").cast("bigint").alias("n_page_alt_pairs"),
+                 F.max(F.when(F.col("rn") == 1, F.col("alt")))
+                 .alias("top_alt"),
+                 F.max(F.when(F.col("rn") == 1, F.col("cnt")))
+                 .cast("bigint").alias("top_alt_cnt")))
+
+
+# The interleaved-docs / span-emission derivation mirrors
+# analytics.SQL_SPAN_EXTRACT (follow_links=True here: 'a' spans emit
+# unconditionally, iframe still media-only).
+_LINKS_DUCK = (
+    "SELECT ref AS url_raw,"
+    "  concat('http://site', doc_id % 50, '.example.com/p', doc_id,"
+    "         '.html') AS page_url,"
+    "  w AS alt"
+    " FROM ("
+    "  SELECT doc_id, toks[i] AS w,"
+    "   ('0x' || substr(md5(concat(doc_id, '_', i - 1)), 1, 1))::INT AS k,"
+    "   ('0x' || substr(md5(concat(doc_id, '_', i - 1)), 2, 1))::INT AS e"
+    "  FROM (SELECT doc_id, list_filter(string_split(text, ' '),"
+    "        x -> x <> '') AS toks FROM documents),"
+    "   LATERAL unnest(generate_series(1, len(toks))) AS u(i)) tok,"
+    " LATERAL (SELECT CASE WHEN k < 7 THEN 'text' WHEN k = 7 THEN 'img'"
+    "   WHEN k = 8 THEN 'a' ELSE 'iframe' END AS kind,"
+    "  CASE WHEN k < 7 THEN '' ELSE concat('http://m.example.com/', w,"
+    "   CASE WHEN e = 0 THEN '' WHEN e <= 5 THEN '.jpg'"
+    "        WHEN e <= 10 THEN '.html' ELSE '.swf' END) END AS ref) s"
+    " WHERE kind <> 'text' AND ref <> '' AND (kind IN ('img', 'a')"
+    "  OR (kind = 'iframe' AND regexp_matches(ref,"
+    "  '^(?i).*\\.(jpg|jpeg|png|gif|bmp|3gp|avi|flv|m4v|mov|mpg|mp4|mpeg|swf|wmv)$')))")
+
+SQL_ANCHOR_TEXT_AGG = (
+    "WITH links AS (" + _LINKS_DUCK + "),"
+    " per_alt AS (SELECT url_raw, alt, CAST(count(*) AS BIGINT) AS cnt,"
+    "   CAST(count(DISTINCT page_url) AS BIGINT) AS pages"
+    "   FROM links GROUP BY url_raw, alt),"
+    " ranked AS (SELECT *, row_number() OVER (PARTITION BY url_raw"
+    "   ORDER BY cnt DESC, alt ASC) AS rn FROM per_alt)"
+    " SELECT url_raw, CAST(sum(cnt) AS BIGINT) AS n_links,"
+    "  CAST(sum(pages) AS BIGINT) AS n_page_alt_pairs,"
+    "  max(CASE WHEN rn = 1 THEN alt END) AS top_alt,"
+    "  CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_alt_cnt"
+    " FROM ranked GROUP BY url_raw")
+
+
+REG: dict[str, tuple] = {
+    "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "anchor_text_agg": (q_anchor_text_agg, SQL_ANCHOR_TEXT_AGG),
+}

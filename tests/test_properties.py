@@ -235,3 +235,32 @@ class TestDuplicateSpans:
     def test_unique_grams_no_spans(self, spark):
         rows = [(0, 0, "a"), (1, 0, "b")]
         assert self._spans(spark, rows) == []
+
+
+class TestPagerankFixedPoint:
+    """Hand-computed fixed-point PageRank (ccspark.webgraph): graph
+    0→1, 0→2, 1→2, 2→0; one iteration from rank_0 = SCALE = 10^12.
+    contrib(u) = (10^12 * 85 div 100) div outdeg → 425e9 (outdeg 2)
+    or 850e9 (outdeg 1); base = 150e9."""
+
+    def test_one_iteration_exact(self, spark):
+        from ccspark.webgraph import pagerank_fixed_point
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long")
+        nodes = spark.createDataFrame([(0,), (1,), (2,)], "host long")
+        got = {r.host: r.rank
+               for r in pagerank_fixed_point(nodes, edges, iters=1).collect()}
+        assert got == {0: 1_000_000_000_000,
+                       1: 575_000_000_000,
+                       2: 1_425_000_000_000}
+
+    def test_dangling_and_isolated(self, spark):
+        from ccspark.webgraph import pagerank_fixed_point
+        # 0→1; node 1 dangling (mass dropped), node 2 isolated
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        nodes = spark.createDataFrame([(0,), (1,), (2,)], "host long")
+        got = {r.host: r.rank
+               for r in pagerank_fixed_point(nodes, edges, iters=1).collect()}
+        assert got == {0: 150_000_000_000,
+                       1: 1_000_000_000_000,
+                       2: 150_000_000_000}
