@@ -58,9 +58,10 @@ _SHINGLES_DUCK = (
 )
 
 
-def shingles_df(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+def shingles_df(spark: SparkSession, sf_dir: str, max_doc: int | None = None,
+                docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, shingle) distinct — the dedup unit (n-gram shingling)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents") if docs is None else docs
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
     return (d.withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
@@ -581,6 +582,75 @@ SQL_DEDUP_SUBSTRING_STATS = (
     " FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id")
 
 
+# ---------------------------------------------------------------------------
+# incremental cross-snapshot dedup — admit an incoming batch against an
+# existing corpus without re-deduplicating the corpus itself
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Classify each NEW document (odd doc_id — 'the incoming batch')
+    against the EXISTING corpus (even doc_id — 'the snapshot'):
+
+      exact  — same md5(text) as some corpus doc,
+      near   — shares ≥1 MinHash (band, signature) bucket with the corpus,
+      unique — neither.
+
+    The production shape at 100 TB: the corpus side reduces to its
+    DISTINCT content hashes and band signatures (persisted once in the
+    snapshot layer, exactly like the URL-seen table); each incoming batch
+    costs two left-semi probes keyed on hash — never a new-batch ×
+    corpus join and never a corpus rescan. Precedence exact > near."""
+    return incremental_status(
+        t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def incremental_status(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → per-NEW-doc (doc_id, status) vs the even-id
+    corpus; the semantics unit behind q_dedup_incremental (the 'exact'
+    branch is exercised by hand-built duplicates in tests — the
+    synthetic sf corpora contain no exact cross-parity copies)."""
+    spark = d.sparkSession
+    old_ids = d.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    new_ids = d.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    dh = d.select("doc_id", F.md5("text").alias("h"))
+    old_hash = dh.join(old_ids, "doc_id", "left_semi").select("h").distinct()
+    exact = (dh.join(new_ids, "doc_id", "left_semi")
+             .join(old_hash, "h", "left_semi")
+             .select("doc_id").withColumn("is_exact", F.lit(1)))
+    mh = minhash_df(spark, None, shingles=shingles_df(spark, None, docs=d))
+    old_sig = (mh.join(old_ids, "doc_id", "left_semi")
+               .select("band", "minhash").distinct())
+    near = (mh.join(new_ids, "doc_id", "left_semi")
+            .join(old_sig, ["band", "minhash"], "left_semi")
+            .select("doc_id").distinct().withColumn("is_near", F.lit(1)))
+    return (new_ids
+            .join(exact, "doc_id", "left").join(near, "doc_id", "left")
+            .select(F.col("doc_id").cast("bigint"),
+                    F.when(F.col("is_exact") == 1, "exact")
+                    .when(F.col("is_near") == 1, "near")
+                    .otherwise("unique").alias("status")))
+
+
+SQL_DEDUP_INCREMENTAL = (
+    "WITH dh AS (SELECT doc_id, md5(text) AS h FROM documents),"
+    " old_h AS (SELECT DISTINCT h FROM dh WHERE doc_id % 2 = 0),"
+    " mh AS (" + _minhash_sql() + "),"
+    " old_sig AS (SELECT DISTINCT band, minhash FROM mh WHERE doc_id % 2 = 0),"
+    " ex AS (SELECT doc_id FROM dh WHERE doc_id % 2 = 1"
+    "        AND h IN (SELECT h FROM old_h)),"
+    " nr AS (SELECT DISTINCT doc_id FROM"
+    "        (SELECT * FROM mh WHERE doc_id % 2 = 1) m"
+    "        SEMI JOIN old_sig USING (band, minhash))"
+    " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+    "  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'"
+    "       WHEN n.doc_id IS NOT NULL THEN 'near'"
+    "       ELSE 'unique' END AS status"
+    " FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d"
+    " LEFT JOIN ex e ON d.doc_id = e.doc_id"
+    " LEFT JOIN nr n ON d.doc_id = n.doc_id")
+
+
 REG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -595,4 +665,5 @@ REG: dict[str, tuple] = {
                               SQL_DEDUP_SUBSTRING_SPANS),
     "dedup_substring_stats": (q_dedup_substring_stats,
                               SQL_DEDUP_SUBSTRING_STATS),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
 }

@@ -631,6 +631,72 @@ SELECT doc_id, word, tf, df, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
 
 
+# ---------------------------------------------------------------------------
+# sequence packing — GPT-style concat-and-chunk for training batches
+# ---------------------------------------------------------------------------
+
+PACK_CONTEXT = 512      # tokens per training chunk
+_PACK_GROUP = 1024      # docs per prefix-sum group (scale knob)
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk packing: documents are concatenated in doc_id
+    order into one token stream split into fixed PACK_CONTEXT-token
+    training chunks; each doc reports its stream offset and the chunk
+    range it lands in (first_chunk..last_chunk, n_chunks) — the layout
+    step every LLM pretraining pipeline runs after filtering/dedup.
+
+    The global prefix sum is computed DISTRIBUTED, not with one global
+    window: docs are range-grouped (doc_id div 1024), group token sums
+    roll up on a tiny per-group table (rows = n_docs/1024 — window over
+    THAT is driver-cheap), and the in-group cumsum is a window
+    partitioned by group. No stage ever sorts the full corpus in one
+    partition; all arithmetic is int64, bit-equal to the sequential
+    definition (the DuckDB twin is the naive single-window version)."""
+    C = PACK_CONTEXT
+    tok = (t(spark, sf_dir, "documents")
+           .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                   F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+                   .cast("bigint").alias("n_tokens"))
+           .filter(F.col("n_tokens") > 0)
+           .withColumn("g", F.expr(f"doc_id div {_PACK_GROUP}")))
+    gsum = tok.groupBy("g").agg(F.sum("n_tokens").alias("gsum"))
+    w_g = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    goff = gsum.withColumn("goff", F.coalesce(F.sum("gsum").over(w_g),
+                                              F.lit(0)))
+    w_in = (Window.partitionBy("g").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    return (tok.join(F.broadcast(goff.select("g", "goff")), "g")
+            .withColumn("tok_start",
+                        (F.col("goff")
+                         + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+                        .cast("bigint"))
+            .select("doc_id", "n_tokens", "tok_start",
+                    F.expr(f"tok_start div {C}").alias("first_chunk"),
+                    F.expr(f"(tok_start + n_tokens - 1) div {C}")
+                    .alias("last_chunk"))
+            .withColumn("n_chunks",
+                        (F.col("last_chunk") - F.col("first_chunk") + 1)
+                        .cast("bigint")))
+
+
+SQL_PACK_CHUNKS = (
+    "WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+    "  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    "       AS BIGINT) AS n_tokens FROM documents),"
+    " nz AS (SELECT * FROM tok WHERE n_tokens > 0),"
+    " c AS (SELECT doc_id, n_tokens,"
+    "  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    "   AS tok_start FROM nz)"
+    f" SELECT doc_id, n_tokens, tok_start, tok_start // {PACK_CONTEXT}"
+    "   AS first_chunk,"
+    f"  (tok_start + n_tokens - 1) // {PACK_CONTEXT} AS last_chunk,"
+    f"  (tok_start + n_tokens - 1) // {PACK_CONTEXT}"
+    f"   - tok_start // {PACK_CONTEXT} + 1 AS n_chunks"
+    " FROM c")
+
+
 REG: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
@@ -642,4 +708,5 @@ REG: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "char_ngrams": (q_char_ngrams, SQL_CHAR_NGRAMS),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
 }

@@ -264,3 +264,30 @@ class TestPagerankFixedPoint:
         assert got == {0: 150_000_000_000,
                        1: 1_000_000_000_000,
                        2: 150_000_000_000}
+
+
+class TestIncrementalDedup:
+    """Pin all three incremental-dedup branches (ccspark.dedup
+    .incremental_status) on hand-built docs: even doc_ids are the
+    corpus, odd the incoming batch."""
+
+    def test_exact_near_unique(self, spark):
+        from ccspark.dedup import incremental_status
+        corpus_txt = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(0, corpus_txt),
+             (2, "one two three four five six seven"),
+             (1, corpus_txt),                              # exact copy of 0
+             (3, "alpha beta gamma delta epsilon zeta XX"),  # near: shares shingles
+             (5, "totally different words entirely here now")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.status for r in incremental_status(docs).collect()}
+        assert got == {1: "exact", 3: "near", 5: "unique"}
+
+    def test_exact_beats_near(self, spark):
+        from ccspark.dedup import incremental_status
+        txt = "a b c d e f g h i j"
+        docs = spark.createDataFrame(
+            [(0, txt), (1, txt)], "doc_id long, text string")
+        got = {r.doc_id: r.status for r in incremental_status(docs).collect()}
+        assert got == {1: "exact"}
