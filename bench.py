@@ -65,6 +65,7 @@ HEADLINE = [
     "lang_id", "quality_model", "token_count",
     "doc_fingerprint", "media_png_decode", "media_vlad",
     "events_sessionize",
+    "dedup_substring_spans", "host_pagerank",
     "crawl_scheduled_2rounds",
 ]
 
