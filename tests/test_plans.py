@@ -215,3 +215,37 @@ class TestRound2PlanAudits:
         finally:
             for k, v in prev.items():
                 spark.conf.set(k, v)
+
+
+class TestR4PipelineOpPlans:
+    """Round-4 ops: the scale-critical plan properties."""
+
+    def test_substring_spans_combine_windows_and_no_cartesian(self, spark):
+        p = phys(ALL["dedup_substring_spans"][0](spark, SF))
+        assert "CartesianProduct" not in p
+        # gram multiplicity must map-side combine (shuffle O(distinct grams))
+        assert "partial_count" in p
+        # the island merge must run per-doc, never as a global window
+        wins = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+        assert wins and all("doc_id" in ln for ln in wins), p
+
+    def test_pack_chunks_data_window_is_partitioned(self, spark):
+        p = phys(ALL["pack_chunks"][0](spark, SF))
+        assert "CartesianProduct" not in p
+        # group offsets join the data side via broadcast
+        assert "BroadcastHashJoin" in p
+        # the window over DATA rows is partitioned by the range group g;
+        # the only unpartitioned window runs on the tiny group table
+        wins = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+        data_wins = [ln for ln in wins if "n_tokens" in ln]
+        assert data_wins and all(
+            "windowspecdefinition(g#" in ln for ln in data_wins), p
+
+    def test_dedup_incremental_probes_are_semi_joins(self, spark):
+        p = phys(ALL["dedup_incremental"][0](spark, SF))
+        assert "CartesianProduct" not in p
+        assert p.count("LeftSemi") >= 4, p
+
+    def test_host_pagerank_no_cartesian(self, spark):
+        p = phys(ALL["host_pagerank"][0](spark, SF))
+        assert "CartesianProduct" not in p
