@@ -86,6 +86,23 @@ class OracleResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _pagerank_fp(nodes: set, edges: set, iters: int = 3) -> dict:
+    """Single-threaded twin of webgraph.pagerank_fixed_point: identical
+    int64 floor arithmetic (Python // on non-negative ints ≡ Spark div)."""
+    scale = 10**12
+    base = scale * 15 // 100
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {n: scale for n in nodes}
+    for _ in range(iters):
+        inflow: dict = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + (ranks[s] * 85 // 100) // outdeg[s]
+        ranks = {n: base + inflow.get(n, 0) for n in nodes}
+    return ranks
+
+
 def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                params: CrawlParams = CrawlParams()) -> OracleResult:
     docs_tbl = pq.read_table(documents_path).to_pylist()
@@ -169,6 +186,26 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             pri = K.priority_scores(pdf)
             for c, p in zip(canon, pri):
                 c["priority"] = float(p)
+
+        # 1b. host-centrality prior (mirrors webgraph.apply_pagerank_prior):
+        # fixed-point integer PageRank on this batch's link graph, then
+        # priority += weight × rank/1e12 (one float multiply-add — same
+        # IEEE ops, same order, as the engine's expression).
+        if params.pagerank_prior_weight is not None and canon:
+            edges = set()
+            for c in canon:
+                ph = K.hosts_of(pd.Series([c["page_url"]])).iloc[0]
+                if ph is None or ph == "":
+                    continue
+                src = (ph[4:] if ph.startswith("www.") else ph).lower()
+                if src and src != c["host_key"]:
+                    edges.add((src, c["host_key"]))
+            nodes = {c["host_key"] for c in canon} | {s for s, _ in edges}
+            ranks = _pagerank_fp(nodes, edges)
+            w = params.pagerank_prior_weight
+            for c in canon:
+                c["priority"] = c["priority"] + w * (
+                    ranks[c["host_key"]] / 1.0e12)
 
         # 2. robots disallow at admission (counted, permanently dropped)
         admitted = []

@@ -53,6 +53,15 @@ class CrawlParams:
     #: eviction). None = guard off (no metric keys, no traps table).
     trap_ratio_pm: int | None = None
     trap_min_urls: int = 20
+    #: host-centrality prior (OPIC/PageRank-style crawl ordering): when
+    #: set, each round boosts candidate priority by
+    #: weight × rank(host_key)/10^12, where rank is the fixed-point
+    #: integer PageRank (webgraph.pagerank_fixed_point) of the round's
+    #: OWN link graph — edges = distinct (host(page_url) → host_key).
+    #: Integer ranks + one float multiply-add per row keep the order
+    #: bit-reproducible (no float sums). None = off (default — the
+    #: reference-parity ordering the north_rule compares).
+    pagerank_prior_weight: float | None = None
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

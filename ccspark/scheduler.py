@@ -271,8 +271,16 @@ class CrawlEngine:
         obs_canon = Observation()
         obs_adm = Observation()
         candidates = candidates.observe(obs_in, F.count(F.lit(1)).alias("n"))
-        canon = (canonicalize(candidates, r)
-                 .observe(obs_canon, F.count(F.lit(1)).alias("n")))
+        canon = canonicalize(candidates, r)
+        if p.pagerank_prior_weight is not None:
+            # OPIC-style host-centrality boost on this batch's link graph
+            # (webgraph.apply_pagerank_prior; oracle mirror in
+            # ccspark.oracle — exact ordering parity tested). The batch
+            # feeds both the rank build and the boost join: cache once.
+            from .webgraph import apply_pagerank_prior
+            canon = apply_pagerank_prior(canon.cache(),
+                                         p.pagerank_prior_weight)
+        canon = canon.observe(obs_canon, F.count(F.lit(1)).alias("n"))
         admitted = (robots_admission_filter(canon, self.robots)
                     .observe(obs_adm, F.count(F.lit(1)).alias("n")))
         pre_trap = admitted

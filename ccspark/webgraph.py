@@ -158,6 +158,45 @@ SQL_HOST_PAGERANK = (
     " SELECT host, rank FROM r3")
 
 
+def apply_pagerank_prior(canon: DataFrame, weight: float,
+                         iters: int = PR_ITERS) -> DataFrame:
+    """Boost canonicalized candidates' priority with a host-centrality
+    prior computed on THIS batch's link graph (OPIC-style crawl
+    ordering; params.pagerank_prior_weight).
+
+    Edges: distinct (src, dst) where src = lowercased www-stripped
+    host(page_url) (the page the link was found on; seeds have
+    page_url='' → no edge) and dst = the candidate's host_key,
+    self-loops dropped. Nodes: every candidate host_key plus every src.
+    priority += weight × rank/10^12 — ranks are the fixed-point
+    integers of pagerank_fixed_point, and the boost is one float
+    multiply-add per row (NO float sums), so the resulting total order
+    is bit-reproducible across engines and partitionings. The rank join
+    keys on host_key against a hosts-sized (tiny) rank table —
+    broadcast at any realistic host count."""
+    from .udfs import host_udf
+
+    src = (canon.select(host_udf("page_url").alias("ph"), "host_key")
+           .withColumn("src", F.lower(F.regexp_replace("ph", r"^www\.", "")))
+           .filter(F.col("src").isNotNull() & (F.col("src") != "")))
+    edges = (src.select("src", F.col("host_key").alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (canon.select(F.col("host_key").alias("host"))
+             .union(edges.select(F.col("src").alias("host"))).distinct())
+    ranks = (pagerank_fixed_point(nodes, edges, iters=iters)
+             .select(F.col("host").alias("_pr_host"), "rank"))
+    return (canon.join(F.broadcast(ranks),
+                       canon.host_key == ranks._pr_host, "left")
+            .drop("_pr_host")
+            .withColumn(
+                "priority",
+                F.col("priority")
+                + F.lit(float(weight))
+                * (F.coalesce(F.col("rank"), F.lit(0)).cast("double")
+                   / F.lit(1.0e12)))
+            .drop("rank"))
+
+
 def q_anchor_text_agg(spark, sf_dir):
     """Anchor-text profile per link target: how many links/pages point at
     each URL and the dominant anchor text (count DESC, text ASC

@@ -497,3 +497,38 @@ class TestTrapGuard:
         assert not eng.traps_tbl.exists()
         assert all("trap_hosts_new" not in m and "trap_dropped" not in m
                    for m in metrics)
+
+
+class TestPagerankPrior:
+    """params.pagerank_prior_weight: OPIC-style host-centrality boost on
+    each round's own link graph. Engine ≡ pure-Python oracle on the full
+    scheduled ordering and priorities (the boost is integer-rank ×
+    one float multiply-add, so the order is bit-reproducible), and the
+    prior actually CHANGES the ordering vs the unboosted run."""
+
+    PARAMS = CrawlParams(rounds=3, pagerank_prior_weight=0.25)
+
+    @pytest.fixture(scope="class")
+    def oracle_pr(self, fx_small):
+        return run_oracle(fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], self.PARAMS)
+
+    def test_prior_run_matches_oracle(self, spark, fx_small, tmp_path,
+                                      oracle_pr):
+        eng = CrawlEngine(spark, str(tmp_path / "pr"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"],
+                          params=self.PARAMS)
+        metrics = eng.run()
+        for got, want in zip(metrics, oracle_pr.metrics):
+            for k in METRIC_KEYS:
+                assert got.get(k) == want.get(k), \
+                    f"round {got['round']} metric {k}"
+        got_sched = _scheduled_lists(eng)
+        for r, want in enumerate(oracle_pr.scheduled):
+            assert got_sched.get(r, []) == \
+                [(c["url"], c["priority"]) for c in want], f"round {r}"
+
+    def test_prior_changes_ordering(self, oracle_pr, oracle_small):
+        base = [[c["url"] for c in rnd] for rnd in oracle_small.scheduled]
+        boosted = [[c["url"] for c in rnd] for rnd in oracle_pr.scheduled]
+        assert base != boosted, "prior had no effect — vacuous test"
