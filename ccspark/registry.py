@@ -188,25 +188,35 @@ _MERGED.update(CRAWL_REG)
 # in-repo PNG codec (CRC walk + inflate + five-filter reconstruction)
 # whose oracle verifies the decoded pixels at value level), and the four
 # rows-only crawl queries (no DuckDB twin by design; pinned by the
-# pure-Python oracle tests).
+# pure-Python oracle tests). Round-4 rotation #2 (same subsumption
+# principle): tag_count ⊂ warc_ingest_tag_count and server_count ⊂
+# wat_ingest_server_count (the gated ingest twins run the identical
+# tokenizer/JSON extraction over archive-derived documents — strictly
+# wider); ngram_jaccard_topk's exact-Jaccard verify is the inner stage
+# of the gated dedup_minhash_lsh; ann_ivfpq_recall ⊂ the gated
+# ann_ivfpq_rerank_topk chain (same ADC core; recall anchors stay
+# reported in BENCH). Promoted in their place: the r4 pipeline ops
+# dedup_substring_spans, dedup_incremental, pack_chunks, host_pagerank.
 GATE_ORDER = [
-    "word_count", "top_words", "tag_count",
-    "server_count", "source_lang_freq", "first_wins_dedup",
+    "word_count", "top_words",
+    "source_lang_freq", "first_wins_dedup",
     "topk_per_key", "class_balance", "discriminative_words",
     "ngram_pruned_vocab", "counters", "seen_anti_join", "region_members",
     "vocab_join", "url_hosts", "media_url_filter", "fetch_sim",
     "politeness_budget", "events_daily", "url_words", "fetch_worthy",
     "http_body_split", "distinct_users_by_type",
     "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "simhash_hamming_pairs", "ngram_jaccard_topk", "ann_bruteforce_topk",
+    "simhash_hamming_pairs", "ann_bruteforce_topk",
     "ann_lsh_topk", "ann_ivf_topk",
     "classifier_eval", "lang_id", "quality_model",
     "token_count", "doc_fingerprint", "char_ngrams", "media_png_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
     "wat_ingest_server_count", "html_to_spans",
-    "ann_ivfpq_rerank_topk", "ann_ivfpq_recall",
+    "ann_ivfpq_rerank_topk",
     "seen_recrawl_cuckoo", "dedup_clusters", "dedup_fuzzy_corpus",
     "quality_repetition", "media_vlad",
+    "dedup_substring_spans", "dedup_incremental", "pack_chunks",
+    "host_pagerank",
 ]
 
 _DRIVER_GATE_CAP = 50
