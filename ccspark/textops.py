@@ -632,6 +632,101 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
 
 
 # ---------------------------------------------------------------------------
+# data mixing — quality-stratified sampling and per-source token budgets
+# ---------------------------------------------------------------------------
+
+# keep-rates per quality bucket (percent): the DCLM/FineWeb recipe shape —
+# keep everything high-quality, thin the middle, keep a trace of the tail
+# for distributional coverage. Selection is HASH sampling (md5 of the
+# doc id), so membership is deterministic, reproducible on any
+# partitioning, and stable under reruns — never rand()/Bernoulli.
+SAMPLE_RATES = {"high": 100, "mid": 50, "low": 10}
+
+
+def q_quality_stratified_sample(spark, sf_dir):
+    """Quality-weighted corpus downsampling: bucket each doc by integer
+    signals (high = 2·n_unique ≥ n_tokens AND ≥1 stopword hit; low =
+    2·stop_hits·10 < n_tokens i.e. stopword fraction < 5%; else mid),
+    then keep a per-bucket deterministic hash fraction of docs. Output is
+    the kept rows with their bucket — the mixing decision a pretraining
+    corpus ships."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    d = (d.withColumn("n_tokens", F.size(toks).cast("bigint"))
+         .withColumn("n_unique", F.size(F.array_distinct(toks)).cast("bigint"))
+         .withColumn("stop_hits", _stop_hits("text", STOP_EN).cast("bigint"))
+         .filter(F.col("n_tokens") > 0))
+    bucket = (F.when((2 * F.col("n_unique") >= F.col("n_tokens"))
+                     & (F.col("stop_hits") >= 1), "high")
+              .when(20 * F.col("stop_hits") < F.col("n_tokens"), "low")
+              .otherwise("mid"))
+    rate = (F.when(F.col("bucket") == "high", SAMPLE_RATES["high"])
+            .when(F.col("bucket") == "mid", SAMPLE_RATES["mid"])
+            .otherwise(SAMPLE_RATES["low"]))
+    h = F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2),"
+               " 16, 10) AS BIGINT)")
+    return (d.withColumn("bucket", bucket)
+            .withColumn("keep", (h % 100) < rate)
+            .filter(F.col("keep"))
+            .select(F.col("doc_id").cast("bigint"), "bucket", "n_tokens"))
+
+
+SQL_QUALITY_STRATIFIED_SAMPLE = (
+    "WITH q AS (SELECT doc_id, n_tokens, n_unique, stop_hits FROM ("
+    "  SELECT doc_id,"
+    "   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    "        AS BIGINT) AS n_tokens,"
+    "   CAST(len(list_distinct(list_filter(string_split(text, ' '),"
+    "        x -> x <> ''))) AS BIGINT) AS n_unique,"
+    "   CAST(" + _duck_stop_hits("text", STOP_EN) + " AS BIGINT) AS stop_hits"
+    "  FROM documents) WHERE n_tokens > 0),"
+    " b AS (SELECT doc_id, n_tokens,"
+    "  CASE WHEN 2 * n_unique >= n_tokens AND stop_hits >= 1 THEN 'high'"
+    "       WHEN 20 * stop_hits < n_tokens THEN 'low'"
+    "       ELSE 'mid' END AS bucket FROM q)"
+    " SELECT doc_id, bucket, n_tokens FROM b"
+    " WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 100"
+    "  < CASE bucket WHEN 'high' THEN 100 WHEN 'mid' THEN 50 ELSE 10 END")
+
+
+SOURCE_TOKEN_BUDGET = 800
+
+
+def q_source_token_budget(spark, sf_dir):
+    """Per-source mixture balancing: each source contributes documents in
+    doc_id order until its token budget is spent (a doc is kept iff the
+    budget was not already exhausted BEFORE it — the greedy prefix rule).
+    One window per source partition (shuffle keyed on source), integer
+    arithmetic only; the 100 TB shape of 'cap each domain/source at N
+    tokens' corpus mixing."""
+    d = (t(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("bigint"), "source",
+                 F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+                 .cast("bigint").alias("n_tokens"))
+         .filter(F.col("n_tokens") > 0))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (d.withColumn("cum_before",
+                         F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                         .cast("bigint"))
+            .filter(F.col("cum_before") < F.lit(SOURCE_TOKEN_BUDGET))
+            .select("doc_id", "source", "n_tokens", "cum_before"))
+
+
+SQL_SOURCE_TOKEN_BUDGET = (
+    "SELECT doc_id, source, n_tokens, cum_before FROM ("
+    " SELECT doc_id, source, n_tokens,"
+    "  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    "   AS cum_before"
+    " FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,"
+    "   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    "        AS BIGINT) AS n_tokens FROM documents)"
+    " WHERE n_tokens > 0)"
+    f" WHERE cum_before < {SOURCE_TOKEN_BUDGET}")
+
+
+# ---------------------------------------------------------------------------
 # sequence packing — GPT-style concat-and-chunk for training batches
 # ---------------------------------------------------------------------------
 
@@ -709,4 +804,7 @@ REG: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "char_ngrams": (q_char_ngrams, SQL_CHAR_NGRAMS),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "quality_stratified_sample": (q_quality_stratified_sample,
+                                  SQL_QUALITY_STRATIFIED_SAMPLE),
+    "source_token_budget": (q_source_token_budget, SQL_SOURCE_TOKEN_BUDGET),
 }
