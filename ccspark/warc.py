@@ -191,6 +191,51 @@ def _gz_member(rec: bytes) -> bytes:
     return buf.getvalue()
 
 
+def write_warc(df: DataFrame, out_dir: str,
+               wtype: str = "response") -> DataFrame:
+    """DISTRIBUTED `.warc.gz` sink (the write side of S1): each input
+    partition streams its rows into one `part-NNNNN.warc.gz` shard under
+    `out_dir` — one gzip member per record, Common Crawl's layout, byte-
+    readable back through `warc_records`. Returns the shard manifest
+    (path, n_records, n_bytes), one row per non-empty partition.
+
+    df columns: uri (string), mime (string), payload (binary). The
+    writer is mapInPandas over Arrow batches — records are synthesized
+    and appended incrementally, so executor memory holds one batch plus
+    one record, never the shard. Shard naming uses the Spark partition
+    id (TaskContext), the standard deterministic sink layout; out_dir
+    must be a filesystem every executor can reach (local here; a shared
+    mount/object store on a real cluster)."""
+    import pyarrow as pa  # noqa: F401  (arrow batches are the transport)
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if len(pdf) and fh is None:
+                    fh = open(path, "wb")
+                for uri, mime, payload in zip(pdf["uri"], pdf["mime"],
+                                              pdf["payload"]):
+                    fh.write(_gz_member(_record(wtype, uri, mime,
+                                                bytes(payload))))
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield pd.DataFrame({"path": [path], "n_records": [n],
+                                "n_bytes": [os.path.getsize(path)]})
+
+    return df.select("uri", "mime", "payload").mapInPandas(
+        write_parts, "path string, n_records long, n_bytes long")
+
+
 def write_archive_fixtures(sf_dir: str, out_dir: str) -> dict[str, str]:
     """fixture.{warc,wet,wat}.gz from sf documents, one gzip member per
     record (Common Crawl's layout). Idempotent via a manifest stamp.

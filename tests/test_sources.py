@@ -53,3 +53,31 @@ def test_tsv_gz_sink_roundtrip(spark, tmp_path):
         with gzip.open(os.path.join(out, f), "rt") as fh:
             rows.update(ln.strip() for ln in fh if ln.strip())
     assert rows == {"img\t3", "a\t5"}
+
+
+def test_warc_sink_roundtrip(spark, tmp_path):
+    """write_warc (distributed per-partition shard sink) → warc_records
+    (the S1 reader) must round-trip uri/mime/payload exactly, and the
+    manifest must account for every record."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from ccspark.warc import warc_records, write_warc
+
+    rows = [(f"http://w.example.com/p{i}.html", "text/html",
+             bytearray(f"<html><body>doc {i}</body></html>".encode()))
+            for i in range(37)]
+    df = (spark.createDataFrame(rows, "uri string, mime string, payload binary")
+          .repartition(4))
+    out = str(tmp_path / "warcout")
+    manifest = write_warc(df, out).toPandas()
+    assert manifest["n_records"].sum() == 37
+    assert all(p.endswith(".warc.gz") for p in manifest["path"])
+
+    back = (warc_records(spark, out + "/*.warc.gz")
+            .filter((F.col("record_type") == "response")
+                    & (F.col("corrupt") == 0))
+            .select("url", "content").toPandas())
+    assert len(back) == 37
+    want = {u: bytes(p) for u, _m, p in rows}
+    got = {r.url: bytes(r.content) for r in back.itertuples()}
+    assert want == got
