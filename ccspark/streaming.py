@@ -209,3 +209,28 @@ def discovery_sessions(spark: SparkSession, landing_dir: str,
             .withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap), F.col("host"))
             .agg(F.count(F.lit(1)).alias("n_candidates")))
+
+
+def dedup_stream(spark: SparkSession, landing_dir: str,
+                 watermark: str = "2 hours",
+                 max_files_per_trigger: int = 10) -> DataFrame:
+    """Streaming URL dedup: `dropDuplicatesWithinWatermark` on url_raw —
+    the streaming twin of the batch first-wins dedup (A3) and the
+    URL-seen admission probe (J1) for the IN-FLIGHT window.
+
+    State holds one row per distinct url inside the watermark horizon —
+    bounded on an unbounded crawl, unlike plain dropDuplicates whose
+    state grows forever. The division of labor at scale: this stage
+    absorbs the intra-window duplicate storm (a hot page's link
+    re-discovered thousands of times within hours) BEFORE the rows reach
+    the persistent URL-seen set (ccspark.seen), which remains the
+    cross-round authority; a duplicate re-arriving after its state was
+    evicted passes here and is caught there. Pre-event-time rows (null
+    event_ms) are passed through undeduplicated rather than pinning the
+    watermark."""
+    withts = (candidate_stream(spark, landing_dir, max_files_per_trigger)
+              .withColumn("ts", F.timestamp_millis("event_ms")))
+    return (withts.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["url_raw"])
+            .unionByName(withts.filter(F.col("ts").isNull())))

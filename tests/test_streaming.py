@@ -414,3 +414,46 @@ def test_discovery_sessions_stream_finalizes(spark, tmp_path):
     assert int(r.session_window.start.timestamp() * 1000) == base
     assert int(r.session_window.end.timestamp() * 1000) \
         == base + 55 * mins
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract, pinned deterministically:
+    a duplicate url arriving while the first copy's state is live is
+    dropped; after the watermark evicts that state, the same url is
+    admitted again (and would then be caught by the persistent URL-seen
+    set — the documented division of labor)."""
+    base = 1767261600000  # 2026-01-01T10:00:00Z
+    mins = 60_000
+    d = tmp_path / "landing_dd"
+    d.mkdir()
+    u = "http://dup.example.com/page"
+    # f0: first copy (10:00) + another url; f1: duplicate at 10:05 —
+    # state live → dropped; f2: event time jumps to 20:00, watermark
+    # (2h) advances well past 10:00+2h → state evicted; f3: same url
+    # later → admitted again.
+    _candidate_file(d / "f0.parquet",
+                    [(u, base + 0 * mins),
+                     ("http://other.example.com/x", base + 1 * mins)], 1_000)
+    _candidate_file(d / "f1.parquet", [(u, base + 5 * mins)], 2_000)
+    _candidate_file(d / "f2.parquet",
+                    [("http://far.example.com/y", base + 600 * mins)], 3_000)
+    # eviction is lazy (end-of-batch): f3 is the intervening batch run
+    # with the advanced watermark that physically clears u's state
+    _candidate_file(d / "f3.parquet",
+                    [("http://mid.example.com/z", base + 602 * mins)], 4_000)
+    _candidate_file(d / "f4.parquet", [(u, base + 605 * mins)], 5_000)
+
+    from ccspark.streaming import dedup_stream
+    q = (dedup_stream(spark, str(d), watermark="2 hours",
+                      max_files_per_trigger=1)
+         .select("url_raw")
+         .writeStream.format("memory").queryName("dd_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cdd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [r.url_raw for r in spark.sql("select * from dd_stream").collect()]
+    assert sorted(got) == sorted([
+        u, "http://other.example.com/x", "http://far.example.com/y",
+        "http://mid.example.com/z", u,
+    ]), got
