@@ -15,7 +15,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from . import (analytics, dedup, htmlspans, incremental, multimodal,
+from . import (analytics, cdx, dedup, htmlspans, incremental, multimodal,
                scrub, similarity, textops, vlad, warc, webgraph)
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
@@ -151,8 +151,8 @@ CRAWL_REG = {
 # ---------------------------------------------------------------------------
 
 _MERGED: dict[str, tuple] = {}
-for mod in (analytics, dedup, incremental, similarity, textops, multimodal,
-            warc,
+for mod in (analytics, cdx, dedup, incremental, similarity, textops,
+            multimodal, warc,
             htmlspans, vlad, scrub, webgraph):
     overlap = _MERGED.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"

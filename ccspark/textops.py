@@ -792,8 +792,102 @@ SQL_PACK_CHUNKS = (
     " FROM c")
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling — hashed n-gram importance weights (Xie et
+# al., "Data Selection for Language Models via Importance Resampling",
+# NeurIPS 2023, public). The published recipe: featurize every document
+# as counts over B hashed n-gram buckets, fit unigram bucket
+# distributions for a TARGET corpus (here: lang='en' docs — in
+# production, a trusted high-quality set) and for the RAW pool (all
+# docs), and weight each raw document by its log importance ratio
+# Σ_b c_doc(b) · ln(p_target(b)/p_raw(b)); documents with positive
+# weight look more target-like than pool-like and are kept.
+#
+# Determinism recipe (same scheme as lang_id_nb / quality_model): bucket
+# counts are exact BIGINTs; each per-bucket log-ratio is computed from
+# one fixed double expression ((c_t+1)·(R+B)) / ((c_r+1)·(T+B)) —
+# Laplace-smoothed on both sides — rounded to 6 dp and scaled to integer
+# micro-units, so per-doc weights are BIGINT sums: exact and
+# engine/partition-order independent. Bucket = first 6 md5 hex chars of
+# the bigram mod B (both engines agree on md5 of UTF-8).
+#
+# Scale story (100 TB): one bigram explode → (doc, bucket) counts
+# (shuffle keyed (doc_id, bucket) — grams of one doc colocate, docs
+# spread); both distributions are B-row aggregates OVER THOSE COUNTS
+# (c_t is a conditional sum, no second corpus pass); the log-ratio table
+# is B tiny rows → broadcast; the weight is one more shuffle keyed by
+# doc_id. No driver-side state beyond two scalar totals.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_TARGET = "en"
+
+
+def q_dsir_weights(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(0, size(toks) - 2),"
+        "  i -> concat_ws(' ', toks[i], toks[i+1]))"
+        " ELSE array() END")
+    # ONE corpus tokenization pass feeds all three consumers (dist, its
+    # totals, and the final per-doc weight join) — persisted like
+    # tfidf's tf table; without it the explode+hash runs three times
+    # (plan-audited: three parquet scans collapse to one).
+    db = (d.withColumn("toks", toks)
+          .select("doc_id", "lang", F.explode(grams).alias("g"))
+          .withColumn("b", F.expr(
+              "CAST(conv(substring(md5(g), 1, 6), 16, 10) AS BIGINT)"
+              f" % {_DSIR_B}"))
+          .groupBy("doc_id", "lang", "b")
+          .agg(F.count(F.lit(1)).alias("c"))).persist()
+    dist = (db.groupBy("b")
+            .agg(F.sum("c").alias("c_r"),
+                 F.sum(F.when(F.col("lang") == _DSIR_TARGET, F.col("c"))
+                       .otherwise(F.lit(0))).alias("c_t")))
+    tot = dist.agg(F.sum("c_r").alias("r_tot"), F.sum("c_t").alias("t_tot"))
+    ratio = (((F.col("c_t") + 1.0) * (F.col("r_tot") + float(_DSIR_B)))
+             / ((F.col("c_r") + 1.0) * (F.col("t_tot") + float(_DSIR_B))))
+    lr = (dist.crossJoin(F.broadcast(tot))
+          .select("b", F.round(F.round(F.log(ratio), 6) * 1e6, 0)
+                  .cast("bigint").alias("lr_u")))
+    return (db.join(F.broadcast(lr), "b")
+            .groupBy("doc_id", "lang")
+            .agg(F.sum("c").cast("bigint").alias("n_grams"),
+                 F.sum(F.col("c") * F.col("lr_u")).cast("bigint")
+                 .alias("weight_u"))
+            .withColumn("keep", F.col("weight_u") > 0))
+
+
+SQL_DSIR_WEIGHTS = (
+    "WITH tk AS (SELECT doc_id, lang,"
+    "   list_filter(string_split(text, ' '), x -> x <> '') AS toks"
+    "  FROM documents),"
+    " g AS (SELECT doc_id, lang, unnest(list_transform("
+    "   generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))"
+    "   AS g FROM tk WHERE len(toks) >= 2),"
+    " db AS (SELECT doc_id, lang,"
+    f"   ('0x' || substr(md5(g), 1, 6))::BIGINT % {_DSIR_B} AS b,"
+    "   CAST(count(*) AS BIGINT) AS c FROM g GROUP BY doc_id, lang, b),"
+    " dist AS (SELECT b, CAST(sum(c) AS BIGINT) AS c_r,"
+    f"   CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN c ELSE 0 END)"
+    "        AS BIGINT) AS c_t FROM db GROUP BY b),"
+    " tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS r_tot,"
+    "   CAST(sum(c_t) AS BIGINT) AS t_tot FROM dist),"
+    " lr AS (SELECT b, CAST(round(round(ln("
+    f"   ((c_t + 1.0) * (r_tot + {_DSIR_B}.0))"
+    f"   / ((c_r + 1.0) * (t_tot + {_DSIR_B}.0))), 6) * 1e6, 0) AS BIGINT)"
+    "   AS lr_u FROM dist CROSS JOIN tot)"
+    " SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_grams,"
+    "  CAST(sum(c * lr_u) AS BIGINT) AS weight_u,"
+    "  CAST(sum(c * lr_u) AS BIGINT) > 0 AS keep"
+    " FROM db JOIN lr USING (b) GROUP BY doc_id, lang")
+
+
 REG: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "lang_id_nb": (q_lang_id_nb, SQL_LANG_ID_NB),
     "quality_model": (q_quality_model, SQL_QUALITY_MODEL),
