@@ -972,8 +972,94 @@ SQL_EMB_INT8_QUANTIZE = (
     " FROM c")
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication inside IVF cells (Abbas et al.,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", 2023, public). The published recipe: cluster the
+# embedding space (here: the SAME trained IVF coarse k-means the ANN
+# index uses — one clustering serves both search and dedup), compute
+# pairwise cosine only WITHIN each cluster, and keep one representative
+# per near-duplicate group (here: smallest vec_id — the same first-wins
+# rule as dedup_exact).
+#
+# The synthetic embeddings are near-random (max pairwise cosine ~0.48),
+# so the duplicate structure is synthesized deterministically in-query:
+# vectors with vec_id < 50 get a copy at vec_id + 10000 scaled by 2.0 —
+# same direction, so the copy's rounded cosine to every centroid equals
+# its original's (identical cell, deterministic tie-break) and the
+# original↔copy cosine is exactly 1.0. Expected output: every original
+# survives, every copy is dropped — verified at value level by the twin.
+#
+# Scale story (100 TB): assignment is a broadcast-centroid join; the
+# pair join keys on cell — SemDeDup's own cost model, O(Σ n_c²) with
+# cell sizes bounded by growing N_CELLS ~ √n as the corpus grows; no
+# global pair join ever forms. asg persists once for its three
+# consumers (both pair sides + the survivor anti-join).
+# ---------------------------------------------------------------------------
+
+SEM_DUP_TAU = 0.99
+_SEM_COPY_N = 50
+_SEM_COPY_OFF = 10000
+
+
+def q_semantic_dedup(spark, sf_dir):
+    e = emb(spark, sf_dir)
+    copies = (e.filter(F.col("vec_id") < _SEM_COPY_N)
+              .select((F.col("vec_id") + _SEM_COPY_OFF).alias("vec_id"),
+                      F.expr("transform(v, x -> x * CAST(2.0 AS DOUBLE))")
+                      .alias("v")))
+    u = _with_norm(e.unionByName(copies))
+    cents = _centroids(spark, sf_dir).withColumn(
+        "cnorm", F.expr("sqrt(" + _DOT.format(a="cv", b="cv") + ")"))
+    csim = F.round(F.expr(_DOT.format(a="v", b="cv"))
+                   / (F.col("norm") * F.col("cnorm")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc())
+    asg = (u.crossJoin(F.broadcast(cents))
+           .withColumn("csim", csim)
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("vec_id", "cell", "v", "norm")).persist()
+    a = asg.select("cell", F.col("vec_id").alias("a_id"),
+                   F.col("v").alias("av"), F.col("norm").alias("an"))
+    b = asg.select("cell", F.col("vec_id").alias("b_id"),
+                   F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    cos = F.round(F.expr(_DOT.format(a="av", b="bv"))
+                  / (F.col("an") * F.col("bn")), 6)
+    dups = (a.join(b, "cell")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= SEM_DUP_TAU)
+            .select(F.col("b_id").alias("vec_id")).distinct())
+    return (asg.join(dups, "vec_id", "left_anti")
+            .select("vec_id", F.col("cell").cast("bigint").alias("cell")))
+
+
+SQL_SEMANTIC_DEDUP = (
+    "WITH " + _duck_centroid_ctes() + ","
+    f" cp AS (SELECT vec_id + {_SEM_COPY_OFF} AS vec_id,"
+    "   list_transform(v, x -> x * 2.0) AS v FROM e"
+    f"   WHERE vec_id < {_SEM_COPY_N}),"
+    " u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM cp),"
+    " un AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM u),"
+    " asg AS (SELECT vec_id, cell, v, norm FROM ("
+    "   SELECT un.vec_id, c.cell, un.v, un.norm, row_number() OVER ("
+    "     PARTITION BY un.vec_id ORDER BY"
+    "     round(list_dot_product(un.v, c.cv)"
+    "           / (un.norm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,"
+    "     c.cell ASC) AS rn"
+    f"   FROM un, c{KMEANS_ITERS} c) WHERE rn = 1),"
+    " dups AS (SELECT DISTINCT b.vec_id FROM asg a"
+    "   JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id"
+    "   WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)"
+    f"     >= {SEM_DUP_TAU})"
+    " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg"
+    " WHERE vec_id NOT IN (SELECT vec_id FROM dups)")
+
+
 REG: dict[str, tuple] = {
     "emb_int8_quantize": (q_emb_int8_quantize, SQL_EMB_INT8_QUANTIZE),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "embedding_neardup_topk": (q_embedding_neardup_topk, SQL_EMBEDDING_NEARDUP_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),

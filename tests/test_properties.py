@@ -291,3 +291,19 @@ class TestIncrementalDedup:
             [(0, txt), (1, txt)], "doc_id long, text string")
         got = {r.doc_id: r.status for r in incremental_status(docs).collect()}
         assert got == {1: "exact"}
+
+
+class TestSemanticDedup:
+    """Intent check independent of the DuckDB twin (a shared bug in both
+    engines would still pass the oracle test): every synthesized scaled
+    copy (vec_id >= 10000, cosine exactly 1.0 to its original in the
+    same IVF cell) must be dropped, every original must survive."""
+
+    def test_copies_dropped_originals_kept(self, spark, sf_dir):
+        from ccspark.similarity import _SEM_COPY_OFF, q_semantic_dedup, emb
+        kept = {r.vec_id for r in
+                q_semantic_dedup(spark, sf_dir).collect()}
+        originals = {r.vec_id for r in
+                     emb(spark, sf_dir).select("vec_id").collect()}
+        assert kept == originals
+        assert not any(v >= _SEM_COPY_OFF for v in kept)
