@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from . import (analytics, cdx, dedup, htmlspans, incremental, multimodal,
-               scrub, similarity, textops, vlad, warc, webgraph)
+               recrawl, scrub, similarity, textops, vlad, warc, webgraph)
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -153,7 +153,7 @@ CRAWL_REG = {
 _MERGED: dict[str, tuple] = {}
 for mod in (analytics, cdx, dedup, incremental, similarity, textops,
             multimodal, warc,
-            htmlspans, vlad, scrub, webgraph):
+            htmlspans, vlad, scrub, webgraph, recrawl):
     overlap = _MERGED.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
     _MERGED.update(mod.REG)
