@@ -109,7 +109,138 @@ SQL_CDX_BLOCK_INDEX = (
     f" FROM ({_SQL_CDX_BASE}) GROUP BY shard, block")
 
 
+# ---------------------------------------------------------------------------
+# capture-history ops: WARC revisit records + cross-snapshot diff
+# ---------------------------------------------------------------------------
+
+def _page_captures(spark, sf_dir):
+    """Multi-capture fixture: one PAGE per customer (so every URL is
+    captured once per order), digest = hash of the capture MONTH — the
+    page's content changes monthly, so consecutive same-month captures
+    carry identical digests and exercise the revisit path. Every third
+    page is STATIC (digest ignores the month): its re-captures are all
+    revisits and its cross-snapshot diff status is 'same'."""
+    o = t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("http://shop"),
+                   (F.col("o_custkey") % 20).cast("string"),
+                   F.lit(".example.com/cust/"),
+                   F.col("o_custkey").cast("string"))
+    return o.select(
+        url.alias("url"),
+        F.concat(F.date_format("o_orderdate", "yyyyMMdd"), F.lit("000000"))
+        .alias("ts14"),
+        F.col("o_orderkey").alias("capture_id"),
+        F.substring(F.md5(F.concat(
+            F.col("o_custkey").cast("string"), F.lit("m"),
+            F.when(F.col("o_custkey") % 3 == 0, F.lit("static"))
+            .otherwise(F.date_format("o_orderdate", "yyyyMM")))),
+            1, 8).alias("digest"),
+        F.year("o_orderdate").alias("yr"))
+
+
+_SQL_PAGE_CAPTURES = """
+SELECT 'http://shop' || CAST(o_custkey % 20 AS VARCHAR)
+         || '.example.com/cust/' || CAST(o_custkey AS VARCHAR) AS url,
+       strftime(o_orderdate, '%Y%m%d') || '000000' AS ts14,
+       o_orderkey AS capture_id,
+       substr(md5(CAST(o_custkey AS VARCHAR) || 'm'
+                  || CASE WHEN o_custkey % 3 = 0 THEN 'static'
+                          ELSE strftime(o_orderdate, '%Y%m') END),
+              1, 8) AS digest,
+       CAST(year(o_orderdate) AS INT) AS yr
+FROM orders"""
+
+
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit-record classification (the WARC 1.1 `revisit` record
+    type, identical-payload-digest profile — how Common Crawl and every
+    Heritrix-lineage crawler deduplicates storage): within each (url,
+    digest) group the earliest capture is the stored `response`; every
+    later identical capture becomes a `revisit` whose refers_to points at
+    the stored one's timestamp. Window per (url, digest) — the shuffle
+    key is the dedup identity itself, so the plan is one hash exchange;
+    at archive scale the group is one page's identical captures (tiny)."""
+    cap = _page_captures(spark, sf_dir)
+    w = (Window.partitionBy("url", "digest")
+         .orderBy("ts14", "capture_id"))
+    grp = Window.partitionBy("url", "digest")
+    return (cap.withColumn("rn", F.row_number().over(w))
+            .withColumn("first_ts", F.min("ts14").over(grp))
+            .select(
+                "url", "ts14", "capture_id", "digest",
+                F.when(F.col("rn") == 1, "response").otherwise("revisit")
+                .alias("record_type"),
+                F.when(F.col("rn") == 1, "").otherwise(F.col("first_ts"))
+                .alias("refers_to")))
+
+
+SQL_WARC_REVISIT = f"""
+WITH cap AS ({_SQL_PAGE_CAPTURES}),
+r AS (
+  SELECT url, ts14, capture_id, digest,
+         row_number() OVER (PARTITION BY url, digest
+                            ORDER BY ts14, capture_id) AS rn,
+         min(ts14) OVER (PARTITION BY url, digest) AS first_ts
+  FROM cap)
+SELECT url, ts14, capture_id, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN rn = 1 THEN '' ELSE first_ts END AS refers_to
+FROM r"""
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Cross-snapshot crawl diff — what changed between two monthly
+    crawls (snapshot a = captures through 1997, b = 1998 on): per URL
+    take the LATEST capture's digest in each snapshot, full-outer join
+    on url, classify added / gone / changed / same. The join key is
+    url in both inputs, so the two aggregations and the join share one
+    hash partitioning (Catalyst reuses the exchange); at 100 TB this is
+    the monthly-snapshot reconciliation job, shuffle O(|urls|)."""
+    cap = _page_captures(spark, sf_dir).withColumn(
+        "snap", F.when(F.col("yr") <= 1997, "a").otherwise("b"))
+    w = (Window.partitionBy("snap", "url")
+         .orderBy(F.desc("ts14"), F.desc("capture_id")))
+    latest = (cap.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("snap", "url", "digest"))
+    a = latest.filter(F.col("snap") == "a").select(
+        "url", F.col("digest").alias("digest_a"))
+    b = latest.filter(F.col("snap") == "b").select(
+        "url", F.col("digest").alias("digest_b"))
+    j = a.join(b, "url", "full_outer")
+    status = (F.when(F.col("digest_a").isNull(), "added")
+              .when(F.col("digest_b").isNull(), "gone")
+              .when(F.col("digest_a") == F.col("digest_b"), "same")
+              .otherwise("changed"))
+    return j.select(
+        "url", status.alias("status"),
+        F.coalesce("digest_a", F.lit("")).alias("digest_a"),
+        F.coalesce("digest_b", F.lit("")).alias("digest_b"))
+
+
+SQL_CRAWL_DIFF = f"""
+WITH cap AS ({_SQL_PAGE_CAPTURES}),
+s AS (
+  SELECT CASE WHEN yr <= 1997 THEN 'a' ELSE 'b' END AS snap, url, digest,
+         row_number() OVER (PARTITION BY CASE WHEN yr <= 1997 THEN 'a'
+                                              ELSE 'b' END, url
+                            ORDER BY ts14 DESC, capture_id DESC) AS rn
+  FROM cap),
+a AS (SELECT url, digest AS digest_a FROM s WHERE snap = 'a' AND rn = 1),
+b AS (SELECT url, digest AS digest_b FROM s WHERE snap = 'b' AND rn = 1)
+SELECT COALESCE(a.url, b.url) AS url,
+       CASE WHEN a.url IS NULL THEN 'added'
+            WHEN b.url IS NULL THEN 'gone'
+            WHEN digest_a = digest_b THEN 'same'
+            ELSE 'changed' END AS status,
+       COALESCE(digest_a, '') AS digest_a,
+       COALESCE(digest_b, '') AS digest_b
+FROM a FULL OUTER JOIN b ON a.url = b.url"""
+
+
 REG: dict[str, tuple] = {
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     "cdx_block_index": (q_cdx_block_index, SQL_CDX_BLOCK_INDEX),
+    "warc_revisit": (q_warc_revisit, SQL_WARC_REVISIT),
+    "crawl_diff": (q_crawl_diff, SQL_CRAWL_DIFF),
 }
