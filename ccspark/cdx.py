@@ -191,51 +191,54 @@ FROM r"""
 def q_crawl_diff(spark, sf_dir):
     """Cross-snapshot crawl diff — what changed between two monthly
     crawls (snapshot a = captures through 1997, b = 1998 on): per URL
-    take the LATEST capture's digest in each snapshot, full-outer join
-    on url, classify added / gone / changed / same. The join key is
-    url in both inputs, so the two aggregations and the join share one
-    hash partitioning (Catalyst reuses the exchange); at 100 TB this is
-    the monthly-snapshot reconciliation job, shuffle O(|urls|)."""
+    take the LATEST capture's digest in each snapshot and classify
+    added / gone / changed / same. NOT a self-join: each snapshot's
+    latest capture is a conditional max over a fixed-width
+    (ts14 ∥ zero-padded capture_id ∥ digest) encoding — lexicographic
+    max ≡ latest-capture argmax — so the whole diff is ONE map-side-
+    combinable hash aggregation on url (one exchange; the windowed
+    two-branch full-outer formulation costs 4 exchanges and rescans).
+    At 100 TB this is the monthly-snapshot reconciliation job, shuffle
+    O(|urls|)."""
     cap = _page_captures(spark, sf_dir).withColumn(
         "snap", F.when(F.col("yr") <= 1997, "a").otherwise("b"))
-    w = (Window.partitionBy("snap", "url")
-         .orderBy(F.desc("ts14"), F.desc("capture_id")))
-    latest = (cap.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
-              .select("snap", "url", "digest"))
-    a = latest.filter(F.col("snap") == "a").select(
-        "url", F.col("digest").alias("digest_a"))
-    b = latest.filter(F.col("snap") == "b").select(
-        "url", F.col("digest").alias("digest_b"))
-    j = a.join(b, "url", "full_outer")
-    status = (F.when(F.col("digest_a").isNull(), "added")
-              .when(F.col("digest_b").isNull(), "gone")
-              .when(F.col("digest_a") == F.col("digest_b"), "same")
+    enc = F.concat("ts14", F.lpad(F.col("capture_id").cast("string"),
+                                  12, "0"), "digest")
+    agg = cap.groupBy("url").agg(
+        F.max(F.when(F.col("snap") == "a", enc)).alias("ea"),
+        F.max(F.when(F.col("snap") == "b", enc)).alias("eb"))
+    digest_a = F.substring("ea", 27, 8)
+    digest_b = F.substring("eb", 27, 8)
+    status = (F.when(F.col("ea").isNull(), "added")
+              .when(F.col("eb").isNull(), "gone")
+              .when(digest_a == digest_b, "same")
               .otherwise("changed"))
-    return j.select(
+    return agg.select(
         "url", status.alias("status"),
-        F.coalesce("digest_a", F.lit("")).alias("digest_a"),
-        F.coalesce("digest_b", F.lit("")).alias("digest_b"))
+        F.coalesce(digest_a, F.lit("")).alias("digest_a"),
+        F.coalesce(digest_b, F.lit("")).alias("digest_b"))
 
 
 SQL_CRAWL_DIFF = f"""
 WITH cap AS ({_SQL_PAGE_CAPTURES}),
-s AS (
-  SELECT CASE WHEN yr <= 1997 THEN 'a' ELSE 'b' END AS snap, url, digest,
-         row_number() OVER (PARTITION BY CASE WHEN yr <= 1997 THEN 'a'
-                                              ELSE 'b' END, url
-                            ORDER BY ts14 DESC, capture_id DESC) AS rn
+e AS (
+  SELECT url,
+         CASE WHEN yr <= 1997 THEN 'a' ELSE 'b' END AS snap,
+         ts14 || lpad(CAST(capture_id AS VARCHAR), 12, '0') || digest AS enc
   FROM cap),
-a AS (SELECT url, digest AS digest_a FROM s WHERE snap = 'a' AND rn = 1),
-b AS (SELECT url, digest AS digest_b FROM s WHERE snap = 'b' AND rn = 1)
-SELECT COALESCE(a.url, b.url) AS url,
-       CASE WHEN a.url IS NULL THEN 'added'
-            WHEN b.url IS NULL THEN 'gone'
-            WHEN digest_a = digest_b THEN 'same'
+agg AS (
+  SELECT url,
+         max(CASE WHEN snap = 'a' THEN enc END) AS ea,
+         max(CASE WHEN snap = 'b' THEN enc END) AS eb
+  FROM e GROUP BY url)
+SELECT url,
+       CASE WHEN ea IS NULL THEN 'added'
+            WHEN eb IS NULL THEN 'gone'
+            WHEN substr(ea, 27, 8) = substr(eb, 27, 8) THEN 'same'
             ELSE 'changed' END AS status,
-       COALESCE(digest_a, '') AS digest_a,
-       COALESCE(digest_b, '') AS digest_b
-FROM a FULL OUTER JOIN b ON a.url = b.url"""
+       COALESCE(substr(ea, 27, 8), '') AS digest_a,
+       COALESCE(substr(eb, 27, 8), '') AS digest_b
+FROM agg"""
 
 
 REG: dict[str, tuple] = {

@@ -47,6 +47,25 @@ class TestAsofSemantics:
         assert got == {10: 500, 11: 500, 12: 500}
 
 
+class TestCaptureHistoryPlans:
+    def test_crawl_diff_is_one_exchange(self, spark):
+        """The snapshot diff is a single conditional aggregation on url —
+        regressing to the windowed two-branch full-outer join costs 4."""
+        from ccspark.cdx import q_crawl_diff
+        p = (q_crawl_diff(spark, "/root/testdata/sf0.001")
+             ._jdf.queryExecution().executedPlan().toString())
+        n_ex = sum(1 for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
+        assert n_ex == 1, f"{n_ex} exchanges:\n{p}"
+        assert "SortMergeJoin" not in p and "Join" not in p
+
+    def test_warc_revisit_is_one_exchange(self, spark):
+        from ccspark.cdx import q_warc_revisit
+        p = (q_warc_revisit(spark, "/root/testdata/sf0.001")
+             ._jdf.queryExecution().executedPlan().toString())
+        n_ex = sum(1 for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
+        assert n_ex == 1, f"{n_ex} exchanges:\n{p}"
+
+
 class TestAsofPlan:
     def test_single_shuffle(self, spark):
         """The union-and-running-last composition must cost exactly ONE
