@@ -66,6 +66,7 @@ HEADLINE = [
     "doc_fingerprint", "media_png_decode", "media_vlad",
     "events_sessionize",
     "dedup_substring_spans", "host_pagerank",
+    "robots_asof", "recrawl_schedule", "warc_revisit", "crawl_diff",
     "crawl_scheduled_2rounds",
 ]
 
