@@ -651,7 +651,87 @@ SQL_DEDUP_INCREMENTAL = (
     " LEFT JOIN nr n ON d.doc_id = n.doc_id")
 
 
+# ---------------------------------------------------------------------------
+# C4-style line-level corpus dedup
+# ---------------------------------------------------------------------------
+#
+# C4 (Raffel et al., "Exploring the Limits of Transfer Learning...", JMLR
+# 2020, §2.2) deduplicates the corpus at SUB-document granularity: any
+# exact three-sentence span that occurs more than once is kept only at
+# its first occurrence and scrubbed everywhere else. On this corpus's
+# space-tokenized text the analogous unit is a fixed-width word window;
+# the operator removes repeated windows corpus-wide (first occurrence by
+# (doc_id, window index) wins) and reassembles each document from its
+# surviving windows.
+#
+# Scale story (100 TB): chunking is a per-row JVM expression (slice on
+# the split array — no explode shuffle); the global first-occurrence
+# decision is ONE hash shuffle on the window text (window groups are
+# duplicate clusters, typically tiny, so the per-group sort is O(dups));
+# reassembly is one shuffle back on doc_id with the whole document's
+# windows aggregated map-side. Production would key the window shuffle
+# on xxhash64(line) to shrink shuffle width (64-bit keys instead of
+# ~40-byte strings, 2^-64 collision odds); the oracle-checked op keys on
+# the raw text so the match is exact by construction.
+
+LINE_W = 5  # words per dedup window
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str, w: int = LINE_W) -> DataFrame:
+    """Non-overlapping w-word windows per document, chunked map-side:
+    (doc_id, cid, line) with cid the 0-based window index."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    # split() never returns an empty array (empty text -> ['']), so the
+    # sequence upper bound is always >= 0 and ascending.
+    cids = F.sequence(
+        F.lit(0), (F.ceil(F.size("ws") / w) - 1).cast("int"))
+    return (docs
+            .select("doc_id", F.posexplode(F.transform(
+                cids,
+                lambda i: F.array_join(F.slice("ws", i * w + 1, w), " ")))
+                .alias("cid", "line")))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Per-document result of corpus-wide window dedup: surviving text,
+    windows kept, windows scrubbed. First occurrence ordered by
+    (doc_id, cid) wins — the same first-wins rule as A3/dedup_exact."""
+    chunks = doc_chunks(spark, sf_dir)
+    w = Window.partitionBy("line").orderBy("doc_id", "cid")
+    flagged = chunks.withColumn("keep", F.row_number().over(w) == 1)
+    ent = F.struct("cid", "line", "keep")
+    kept = F.filter(F.array_sort(F.collect_list(ent)), lambda x: x["keep"])
+    return (flagged.groupBy("doc_id").agg(
+        F.array_join(F.transform(kept, lambda x: x["line"]), " ")
+        .alias("clean_text"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_dropped")))
+
+
+SQL_DEDUP_LINES = """
+WITH chunks AS (
+  SELECT doc_id, i - 1 AS cid,
+         array_to_string(ws[(i-1)*5+1 : (i-1)*5+5], ' ') AS line
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(generate_series(1, CAST(ceil(len(ws)/5.0) AS BIGINT)))
+       AS t(i)),
+flagged AS (
+  SELECT doc_id, cid, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, cid) = 1
+             AS keep
+  FROM chunks)
+SELECT doc_id,
+       COALESCE(string_agg(line, ' ' ORDER BY cid) FILTER (WHERE keep), '')
+           AS clean_text,
+       COUNT(*) FILTER (WHERE keep) AS n_kept,
+       COUNT(*) FILTER (WHERE NOT keep) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
 REG: dict[str, tuple] = {
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
