@@ -67,6 +67,7 @@ HEADLINE = [
     "events_sessionize",
     "dedup_substring_spans", "host_pagerank",
     "robots_asof", "recrawl_schedule", "warc_revisit", "crawl_diff",
+    "dedup_lines", "sitemap_parse",
     "crawl_scheduled_2rounds",
 ]
 

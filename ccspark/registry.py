@@ -198,26 +198,34 @@ _MERGED.update(CRAWL_REG)
 # ann_ivfpq_rerank_topk chain (same ADC core; recall anchors stay
 # reported in BENCH). Promoted in their place: the r4 pipeline ops
 # dedup_substring_spans, dedup_incremental, pack_chunks, host_pagerank.
+# Round-4 rotation #3: events_daily ⊂ events_sessionize (the gated
+# sessionizer aggregates the same event stream through the strictly
+# richer gap-window path) and url_words ⊂ url_hosts+char_ngrams (same
+# URL-string split kernels); promoted in their place: robots_asof (the
+# AS-OF temporal-join composition) and dedup_lines (C4-style
+# sub-document corpus dedup); char_ngrams demoted too (its X5 kernel is
+# the inner stage of the still-gated ngram_pruned_vocab chain).
 GATE_ORDER = [
     "word_count", "top_words",
     "source_lang_freq", "first_wins_dedup",
     "topk_per_key", "class_balance", "discriminative_words",
     "ngram_pruned_vocab", "counters", "seen_anti_join", "region_members",
     "vocab_join", "url_hosts", "media_url_filter", "fetch_sim",
-    "politeness_budget", "events_daily", "url_words", "fetch_worthy",
+    "politeness_budget", "events_sessionize", "robots_asof",
+    "fetch_worthy",
     "http_body_split", "distinct_users_by_type",
     "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_hamming_pairs", "ann_bruteforce_topk",
     "ann_lsh_topk", "ann_ivf_topk",
     "classifier_eval", "lang_id", "quality_model",
-    "token_count", "doc_fingerprint", "char_ngrams", "media_png_decode",
+    "token_count", "doc_fingerprint", "media_png_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
     "wat_ingest_server_count", "html_to_spans",
     "ann_ivfpq_rerank_topk",
     "seen_recrawl_cuckoo", "dedup_clusters", "dedup_fuzzy_corpus",
     "quality_repetition", "media_vlad",
     "dedup_substring_spans", "dedup_incremental", "pack_chunks",
-    "host_pagerank",
+    "host_pagerank", "dedup_lines",
 ]
 
 _DRIVER_GATE_CAP = 50
