@@ -118,9 +118,9 @@ def make_crawl_fixture(out_dir: str, n_docs: int = 500, seed: int = 42,
     (skips when the directory already holds a matching manifest)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "_MANIFEST")
-    stamp = f"v3:{n_docs}:{seed}:{n_seeds}"
+    stamp = f"v4:{n_docs}:{seed}:{n_seeds}"
     paths = {t: os.path.join(out_dir, f"{t}.parquet")
-             for t in ("documents", "seeds", "robots")}
+             for t in ("documents", "seeds", "robots", "sitemaps")}
     if os.path.exists(manifest):
         with open(manifest) as fh:
             if fh.read().strip() == stamp and all(os.path.exists(p) for p in paths.values()):
@@ -183,6 +183,37 @@ def make_crawl_fixture(out_dir: str, n_docs: int = 500, seed: int = 42,
         "fetched_at": pa.array([1767225600000] * n_hosts, pa.timestamp("ms")),
     })
     pq.write_table(robots, paths["robots"])
+
+    # sitemaps.org XML blob for every third host: a mix of pages the link
+    # graph already reaches (dup discovery must be dedup'd) and /sm/
+    # extras reachable ONLY via the sitemap (the feature's observable
+    # effect). A FRESH rng keeps the draws above byte-identical to v3.
+    smrng = np.random.default_rng(seed + 7)
+    by_host: dict[str, list[str]] = {}
+    for j, u in enumerate(page_urls):
+        by_host.setdefault(hosts[host_idx[j]], []).append(u)
+    sm_hosts, sm_urls, sm_xml = [], [], []
+    for i, host in enumerate(hosts):
+        if i % 3 != 0:
+            continue
+        own = by_host.get(host, [])
+        n_known = int(smrng.integers(0, min(3, len(own)) + 1))
+        known = [own[int(k)] for k in
+                 smrng.choice(len(own), size=n_known, replace=False)] if n_known else []
+        extras = [f"http://{host}/sm/extra{i}_{k}.html"
+                  for k in range(int(smrng.integers(1, 4)))]
+        entries = "".join(
+            f"<url><loc>{u}</loc><lastmod>2026-01-{(k % 28) + 1:02d}</lastmod>"
+            f"<priority>0.{(k % 9) + 1}</priority></url>"
+            for k, u in enumerate(known + extras))
+        sm_hosts.append(host)
+        sm_urls.append(f"http://{host}/sitemap.xml")
+        sm_xml.append(f"<urlset>{entries}</urlset>")
+    pq.write_table(pa.table({
+        "host": pa.array(sm_hosts, pa.string()),
+        "sitemap_url": pa.array(sm_urls, pa.string()),
+        "xml": pa.array(sm_xml, pa.string()),
+    }), paths["sitemaps"])
 
     with open(manifest, "w") as fh:
         fh.write(stamp)

@@ -104,7 +104,8 @@ def _pagerank_fp(nodes: set, edges: set, iters: int = 3) -> dict:
 
 
 def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
-               params: CrawlParams = CrawlParams()) -> OracleResult:
+               params: CrawlParams = CrawlParams(),
+               sitemaps_path: str | None = None) -> OracleResult:
     docs_tbl = pq.read_table(documents_path).to_pylist()
     seeds = [r["url"] for r in pq.read_table(seeds_path).to_pylist()]
     robots_tbl = pq.read_table(robots_path)
@@ -131,6 +132,18 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         "parent_txt": "", "dom_depth": 0, "dom_sib": 0,
         "src_doc_id": "seed", "offset": 0,
     } for u in seeds]
+    if params.sitemap_seeding and sitemaps_path is not None:
+        # mirrors CrawlEngine._sitemap_candidates: <loc> entries in
+        # document order, lineage = (sitemap:<host>, position)
+        for row in pq.read_table(sitemaps_path).to_pylist():
+            for k, u in enumerate(
+                    re.findall(r"<loc>(.*?)</loc>", row["xml"])):
+                candidates.append({
+                    "url_raw": u, "page_url": "", "kind": "sitemap",
+                    "alt": "", "parent_txt": "", "dom_depth": 0,
+                    "dom_sib": 0, "src_doc_id": f"sitemap:{row['host']}",
+                    "offset": k,
+                })
 
     for r in range(params.rounds):
         m = {"round": r}

@@ -62,6 +62,15 @@ class CrawlParams:
     #: bit-reproducible (no float sums). None = off (default — the
     #: reference-parity ordering the north_rule compares).
     pagerank_prior_weight: float | None = None
+    #: sitemap seeding (sitemaps.org discovery, RFC 9309 advertisement):
+    #: when True AND the engine was given a sitemaps table, round 0's
+    #: candidates are the seed list UNION the parsed `<loc>` entries
+    #: (kind='sitemap', lineage = (sitemap:host, entry position)); they
+    #: enter the normal canonicalize → robots → dedup → schedule
+    #: pipeline, so a URL that is both seed and sitemap entry dedups
+    #: deterministically (seed wins the lineage tie). False = off (the
+    #: reference-parity seeding the north_rule compares).
+    sitemap_seeding: bool = False
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

@@ -136,7 +136,8 @@ class CrawlEngine:
                  seeds_path: str, robots_path: str,
                  params: CrawlParams = CrawlParams(), use_bloom: bool = True,
                  bits_per_bucket: int = 1 << 20,
-                 filter_kind: str | None = None, cuckoo_buckets: int = 1 << 14):
+                 filter_kind: str | None = None, cuckoo_buckets: int = 1 << 14,
+                 sitemaps_path: str | None = None):
         """filter_kind selects the URL-seen accelerator per the
         north_rule's 'bloom/cuckoo': None → 'bloom' when use_bloom (the
         default), or 'cuckoo' for the deletable-filter backend (recrawl
@@ -158,6 +159,7 @@ class CrawlEngine:
         # same delta-chain mechanism; empty/absent when the guard is off
         self.traps_tbl = self.store.table("traps")
         self.seeds_path = seeds_path
+        self.sitemaps_path = sitemaps_path
         robots = spark.read.parquet(robots_path)
         if (params.robots_max_age_ms is not None
                 and params.crawl_as_of_ms is not None):
@@ -456,9 +458,36 @@ class CrawlEngine:
                 raise RuntimeError("resume requested but no candidates snapshot")
             seeds = self.spark.read.parquet(self.seeds_path)
             cand = seeds_to_candidates(seeds)
+            if self.params.sitemap_seeding and self.sitemaps_path:
+                cand = cand.unionByName(
+                    self._sitemap_candidates(self.sitemaps_path))
         for r in range(start, self.params.rounds):
             cand = self.run_round(r, cand)
         return self.store.round_metrics()
+
+    def _sitemap_candidates(self, sitemaps_path: str) -> DataFrame:
+        """Sitemap discovery (params.sitemap_seeding): `<loc>` entries of
+        the advertised sitemaps become round-0 candidates. Lineage is
+        (sitemap:<host>, entry position) — unique per entry, so the
+        first-wins batch dedup stays deterministic, and 'seed' < 'sitemap'
+        lexicographically means a URL present in both sources keeps its
+        seed lineage. Blobs are protocol-bounded (50k URLs / 50 MB), so
+        from_xml + posexplode is a per-row expression — no shuffle."""
+        from .sitemap import parse_sitemaps
+        blobs = self.spark.read.parquet(sitemaps_path)
+        sm = parse_sitemaps(blobs.select("host", "xml"), with_pos=True)
+        return sm.select(
+            F.col("loc").alias("url_raw"),
+            F.lit("").alias("page_url"),
+            F.lit("sitemap").alias("kind"),
+            F.lit("").alias("alt"),
+            F.lit("").alias("parent_txt"),
+            F.lit(0).alias("dom_depth"),
+            F.lit(0).alias("dom_sib"),
+            F.concat(F.lit("sitemap:"), F.col("host")).alias("src_doc_id"),
+            F.col("sm_pos").alias("offset"),
+            F.lit(None).cast("long").alias("event_ms"),
+        )
 
     # -- inspection -------------------------------------------------------------
 

@@ -69,19 +69,28 @@ def sitemap_xml_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("</urlset>")).alias("xml")))
 
 
-def parse_sitemaps(blobs: DataFrame, xml_col: str = "xml") -> DataFrame:
+def parse_sitemaps(blobs: DataFrame, xml_col: str = "xml",
+                   with_pos: bool = False) -> DataFrame:
     """sitemaps.org `<urlset>` parser: native ``from_xml`` (JVM
     expression, codegen-friendly) + explode — each blob row yields one
-    row per `<url>` entry with the frontier-relevant hint columns."""
+    row per `<url>` entry with the frontier-relevant hint columns.
+    ``with_pos`` adds the entry's 0-based document-order position
+    (``sm_pos``) for lineage tie-breaking in the crawl engine."""
     parsed = blobs.withColumn(
         "_p", F.from_xml(F.col(xml_col), _URLSET_SCHEMA))
-    return (parsed
-            .select(*[c for c in blobs.columns if c != xml_col],
-                    F.explode("_p.url").alias("_u"))
-            .select(*[c for c in blobs.columns if c != xml_col],
-                    F.col("_u.loc").alias("loc"),
-                    F.col("_u.lastmod").alias("lastmod"),
-                    F.col("_u.priority").alias("priority")))
+    keep = [c for c in blobs.columns if c != xml_col]
+    if with_pos:
+        exploded = parsed.select(
+            *keep, F.posexplode("_p.url").alias("sm_pos", "_u"))
+        pos_cols = [F.col("sm_pos")]
+    else:
+        exploded = parsed.select(*keep, F.explode("_p.url").alias("_u"))
+        pos_cols = []
+    return exploded.select(
+        *keep, *pos_cols,
+        F.col("_u.loc").alias("loc"),
+        F.col("_u.lastmod").alias("lastmod"),
+        F.col("_u.priority").alias("priority"))
 
 
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
