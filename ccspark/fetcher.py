@@ -60,19 +60,24 @@ def urllib_transport(url: str, timeout_s: float) -> tuple[int, str, int]:
         return 0, "", 0   # network failure sentinel (never raises)
 
 
-def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], float | None]:
-    """(disallow prefixes, crawl_delay) for the matching agent group.
+def parse_robots_txt(body: str, user_agent: str = "*") \
+        -> tuple[list[str], list[str], float | None]:
+    """(disallow rules, allow rules, crawl_delay) for the matching agent
+    group.
 
-    Minimal, deterministic robots.txt grammar: User-agent groups,
-    Disallow paths, Crawl-delay seconds; empty Disallow = allow-all
-    line. Group selection follows RFC 9309 §2.2.1 longest-match: among
-    groups whose agent token is a case-insensitive PREFIX of our
-    user-agent ('Googlebot' matches UA 'googlebot-images'), the longest
-    token wins; the '*' group applies only when no named group matches.
-    (The reference has no robots handling at all — U12 is the
-    north_rule's addition; this parser feeds the same cache schema the
-    scheduler's admission/budget joins consume.)"""
-    groups: dict[str, tuple[list[str], float | None]] = {}
+    Deterministic robots.txt grammar: User-agent groups, Disallow/Allow
+    rule lines (RFC 9309 §2.2.2 — rules may contain '*' wildcards and a
+    trailing '$' end-anchor; matching/precedence happens downstream in
+    politeness.with_robots_blocked_flag and the pure-Python oracle),
+    Crawl-delay seconds; empty Disallow = allow-all line. Group
+    selection follows RFC 9309 §2.2.1 longest-match: among groups whose
+    agent token is a case-insensitive PREFIX of our user-agent
+    ('Googlebot' matches UA 'googlebot-images'), the longest token wins;
+    the '*' group applies only when no named group matches. (The
+    reference has no robots handling at all — U12 is the north_rule's
+    addition; this parser feeds the same cache schema the scheduler's
+    admission/budget joins consume.)"""
+    groups: dict[str, tuple[list[str], list[str], float | None]] = {}
     agents: list[str] = []
     collecting_agents = True
     for raw in body.splitlines():
@@ -87,27 +92,30 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], float
             collecting_agents = True
             agents.append(val.lower())
             for a in agents:
-                groups.setdefault(a, ([], None))
-        elif key in ("disallow", "crawl-delay"):
+                groups.setdefault(a, ([], [], None))
+        elif key in ("disallow", "allow", "crawl-delay"):
             collecting_agents = False
             for a in agents:
-                dis, delay = groups.setdefault(a, ([], None))
+                dis, alw, delay = groups.setdefault(a, ([], [], None))
                 if key == "disallow":
                     if val:
                         dis.append(val)
+                elif key == "allow":
+                    if val:
+                        alw.append(val)
                 else:
                     try:
                         delay = float(val)
                     except ValueError:
                         pass
-                groups[a] = (dis, delay)
+                groups[a] = (dis, alw, delay)
     ua = user_agent.lower()
     named = [g for g in groups if g != "*" and ua.startswith(g)]
     if named:
         return groups[max(named, key=len)]
     if "*" in groups:
         return groups["*"]
-    return [], None
+    return [], [], None
 
 
 def fetch_robots(hosts: DataFrame,
@@ -150,6 +158,7 @@ def fetch_robots(hosts: DataFrame,
         T.StructField("host", T.StringType()),
         T.StructField("crawl_delay", T.DoubleType()),
         T.StructField("disallow", T.ArrayType(T.StringType())),
+        T.StructField("allow", T.ArrayType(T.StringType())),
         T.StructField("fetched_at", T.TimestampType()),
     ])
     ts = pd.Timestamp(fetched_at_ms, unit="ms")
@@ -157,7 +166,7 @@ def fetch_robots(hosts: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"host": [], "crawl_delay": [], "disallow": [],
-                    "fetched_at": []}
+                    "allow": [], "fetched_at": []}
             for host in pdf["host_key"]:
                 status, body = 0, ""
                 for scheme in ("https", "http"):
@@ -165,12 +174,13 @@ def fetch_robots(hosts: DataFrame,
                         f"{scheme}://{host}/robots.txt", timeout_s)
                     if status != 0:   # reachable: answer is authoritative
                         break
-                dis, delay = (parse_robots_txt(body, user_agent)
-                              if status == 200 else ([], None))
+                dis, alw, delay = (parse_robots_txt(body, user_agent)
+                                   if status == 200 else ([], [], None))
                 rows["host"].append(host)
                 rows["crawl_delay"].append(
                     delay if delay is not None else default_delay)
                 rows["disallow"].append(dis)
+                rows["allow"].append(alw)
                 rows["fetched_at"].append(ts)
             yield pd.DataFrame(rows)
 

@@ -118,7 +118,7 @@ def make_crawl_fixture(out_dir: str, n_docs: int = 500, seed: int = 42,
     (skips when the directory already holds a matching manifest)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "_MANIFEST")
-    stamp = f"v4:{n_docs}:{seed}:{n_seeds}"
+    stamp = f"v6:{n_docs}:{seed}:{n_seeds}"
     paths = {t: os.path.join(out_dir, f"{t}.parquet")
              for t in ("documents", "seeds", "robots", "sitemaps")}
     if os.path.exists(manifest):
@@ -175,10 +175,32 @@ def make_crawl_fixture(out_dir: str, n_docs: int = 500, seed: int = 42,
             disallow.append([f"/{rng.choice(WORDS)}/"])
         else:
             disallow.append([])
+    # RFC 9309 wildcard/Allow rules for a deterministic host subset
+    # (offsets avoid the 3 hot heads): every 11th host disallows all
+    # .html via wildcard+anchor but re-allows /sm/extra (allow rule is
+    # LONGER than the disallow, so it wins the longest-match tie-break);
+    # every 13th adds a mid-path '*' disallow.
+    allow: list[list[str]] = []
+    for i in range(n_hosts):
+        if i == 1:
+            # hot head: wildcard+anchor disallow that provably FIRES
+            # (hot1 carries many page1*.html pages), with an equal-length
+            # allow exercising the tie → allow (least restrictive) rule
+            disallow[i] = disallow[i] + ["/*/page1*.html$"]
+            allow.append(["/*/page11*.html$"])
+        elif (i + 5) % 11 == 0:
+            disallow[i] = disallow[i] + ["/*.html$"]
+            allow.append(["/sm/extra"])
+        elif (i + 7) % 13 == 0:
+            disallow[i] = disallow[i] + [f"/{WORDS[i % len(WORDS)]}/*/"]
+            allow.append([])
+        else:
+            allow.append([])
     robots = pa.table({
         "host": pa.array(hosts, pa.string()),
         "crawl_delay": pa.array(delays, pa.float64()),
         "disallow": pa.array(disallow, pa.list_(pa.string())),
+        "allow": pa.array(allow, pa.list_(pa.string())),
         # fixed deterministic cache timestamp (U12 robots-cache schema)
         "fetched_at": pa.array([1767225600000] * n_hosts, pa.timestamp("ms")),
     })

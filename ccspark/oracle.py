@@ -103,6 +103,26 @@ def _pagerank_fp(nodes: set, edges: set, iters: int = 3) -> dict:
     return ranks
 
 
+def _robots_rule_matches(path: str, p: str) -> bool:
+    """RFC 9309 §2.2.2 rule match ('*' any sequence, trailing '$'
+    end-anchor) — byte-for-byte twin of the engine's JVM expression
+    (politeness._robots_rule_matches)."""
+    if "*" in p or p.endswith("$"):
+        body, anchor = (p[:-1], "$") if p.endswith("$") else (p, "")
+        rx = "^" + re.escape(body).replace("\\*", ".*") + anchor
+        return re.search(rx, path) is not None
+    return path.startswith(p)
+
+
+def _robots_blocked(path: str, rb: dict) -> bool:
+    """Longest matching rule wins; tie → allow (least restrictive)."""
+    dis = max((len(p) for p in rb["disallow"]
+               if _robots_rule_matches(path, p)), default=0)
+    alw = max((len(p) for p in (rb.get("allow") or [])
+               if _robots_rule_matches(path, p)), default=0)
+    return dis > alw
+
+
 def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                params: CrawlParams = CrawlParams(),
                sitemaps_path: str | None = None) -> OracleResult:
@@ -120,9 +140,11 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         # content — order-independent, mirroring the engine's max_by
         # reduction of the cache (scheduler.CrawlEngine.__init__)
         cur = robots.get(r["host"])
-        if cur is None or ((ms, r["crawl_delay"], tuple(r["disallow"]))
+        if cur is None or ((ms, r["crawl_delay"], tuple(r["disallow"]),
+                            tuple(r.get("allow") or []))
                            >= (cur["_ms"], cur["crawl_delay"],
-                               tuple(cur["disallow"]))):
+                               tuple(cur["disallow"]),
+                               tuple(cur.get("allow") or []))):
             robots[r["host"]] = dict(r, _ms=ms)
     docs_by_url = {d["page_url"]: d for d in docs_tbl}
 
@@ -220,13 +242,16 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                 c["priority"] = c["priority"] + w * (
                     ranks[c["host_key"]] / 1.0e12)
 
-        # 2. robots disallow at admission (counted, permanently dropped)
+        # 2. robots admission (counted, permanently dropped) — RFC 9309
+        # §2.2.2 longest-match over Allow + Disallow, mirroring
+        # politeness.with_robots_blocked_flag exactly
         admitted = []
         blocked = 0
         for c in canon:
             rb = robots.get(c["host_key"])
-            path = K.split_url(c["url"])[2]
-            if rb and any(path.startswith(p) for p in rb["disallow"]):
+            _, _, _path, _q = K.split_url(c["url"])
+            path = _path + ("?" + _q if _q else "")
+            if rb and _robots_blocked(path, rb):
                 blocked += 1
             else:
                 admitted.append(c)

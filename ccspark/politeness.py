@@ -29,22 +29,62 @@ def order_cols():
             F.col("surt").asc(), F.col("url").asc()]
 
 
+def _robots_rule_matches(path, p):
+    """RFC 9309 §2.2.2 rule match as a pure JVM expression: the URL path
+    matches pattern ``p`` where '*' matches any character sequence and a
+    TRAILING '$' anchors end-of-path; every other character is literal
+    (a mid-pattern '$' included). Wildcard-free patterns take the
+    startswith fast path — the regex build runs only for rules that
+    need it."""
+    has_dollar = p.endswith("$")
+    body = F.when(has_dollar,
+                  F.substr(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    # escape every regex metachar (including '*'), then turn the escaped
+    # star back into '.*' — leaves all other chars literal
+    esc = F.regexp_replace(body, r"([\\.\[\](){}+?^$|*])", r"\\$1")
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\\\*", ".*"),
+                  F.when(has_dollar, F.lit("$")).otherwise(F.lit("")))
+    plain = (~p.contains("*")) & (~has_dollar)
+    return F.when(plain, path.startswith(p)).otherwise(
+        F.regexp_like(path, rx))
+
+
+def _best_match_len(path, rules):
+    """Length of the longest rule in ``rules`` matching ``path`` (0 when
+    none match) — RFC 9309 specificity is pattern length as written."""
+    return F.aggregate(
+        F.filter(rules, lambda p: _robots_rule_matches(path, p)),
+        F.lit(0), lambda acc, p: F.greatest(acc, F.length(p)))
+
+
 def with_robots_blocked_flag(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Attach `_blocked`: URL path starts with a disallowed prefix for the
-    host. Plain equi-join on host_key (Catalyst broadcasts a small robots
-    table automatically; at 1e8-host scale it becomes a shuffle join on
-    the same key the frontier is already partitioned by)."""
-    rb = robots.select(F.col("host").alias("host_key"), "disallow")
-    joined = candidates.join(rb, "host_key", "left")
-    # path per kernels.split_url: after the authority, up to '?'/'#'.
+    """Attach `_blocked` per RFC 9309 §2.2.2: among all matching Allow
+    and Disallow rules for the host, the LONGEST wins; a tie is allow
+    (least restrictive). No matching rule = allowed. Plain equi-join on
+    host_key (Catalyst broadcasts a small robots table automatically; at
+    1e8-host scale it becomes a shuffle join on the same key the
+    frontier is already partitioned by). A robots cache without an
+    `allow` column (pre-RFC builds) degrades to disallow-only — the old
+    any-prefix semantics."""
+    rb_cols = [F.col("host").alias("host_key"), F.col("disallow")]
+    if "allow" in robots.columns:
+        rb_cols.append(F.col("allow"))
+    joined = candidates.join(robots.select(*rb_cols), "host_key", "left")
+    if "allow" not in robots.columns:
+        joined = joined.withColumn(
+            "allow", F.lit(None).cast("array<string>"))
+    # match target per RFC 9309 / Google robots spec: path INCLUDING the
+    # query ('/*.php' matches '/file.php?x=1'), excluding the fragment.
     # (NOT F.parse_url — its java.net.URI backend throws on URLs the
     # reference's java.net.URL semantics accept.)
     path = F.regexp_extract(
-        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    blocked = F.exists("disallow", lambda p: path.startswith(p))
+        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1)
+    empty = F.array().cast("array<string>")
+    dis_best = _best_match_len(path, F.coalesce(F.col("disallow"), empty))
+    alw_best = _best_match_len(path, F.coalesce(F.col("allow"), empty))
     return (joined
-            .withColumn("_blocked", F.coalesce(blocked, F.lit(False)))
-            .drop("disallow"))
+            .withColumn("_blocked", dis_best > alw_best)
+            .drop("disallow", "allow"))
 
 
 def robots_admission_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:

@@ -178,8 +178,11 @@ class CrawlEngine:
         # explicitly order-independent rule (snapshot tables have no row
         # order); run_oracle applies the identical pick.
         payload = [c for c in robots.columns if c != "host"]
-        pick = F.struct(F.unix_millis(F.col("fetched_at").cast("timestamp")),
-                        F.col("crawl_delay"), F.col("disallow"))
+        pick_fields = [F.unix_millis(F.col("fetched_at").cast("timestamp")),
+                       F.col("crawl_delay"), F.col("disallow")]
+        if "allow" in robots.columns:
+            pick_fields.append(F.col("allow"))
+        pick = F.struct(*pick_fields)
         robots = (robots.groupBy("host")
                   .agg(F.max_by(F.struct(*payload), pick).alias("_r"))
                   .select("host", "_r.*"))

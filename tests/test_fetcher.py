@@ -126,10 +126,10 @@ class TestRobotsFetcher:
             "Disallow: /only-for-us/\n"
             "Disallow:\n"           # empty = allow-all line, ignored
             "Crawl-delay: 0.5\n")
-        assert parse_robots_txt(body, "ccspark") == (["/only-for-us/"], 0.5)
-        assert parse_robots_txt(body, "otherbot") == (["/only-for-us/"], 0.5)
-        assert parse_robots_txt(body, "unknown") == (["/private/"], 2.0)
-        assert parse_robots_txt("", "x") == ([], None)
+        assert parse_robots_txt(body, "ccspark") == (["/only-for-us/"], [], 0.5)
+        assert parse_robots_txt(body, "otherbot") == (["/only-for-us/"], [], 0.5)
+        assert parse_robots_txt(body, "unknown") == (["/private/"], [], 2.0)
+        assert parse_robots_txt("", "x") == ([], [], None)
 
     def test_parse_robots_longest_prefix_agent_match(self):
         """RFC 9309 §2.2.1: the group whose agent token is the LONGEST
@@ -144,12 +144,12 @@ class TestRobotsFetcher:
             "Disallow: /ccspark/\n")
         # UA 'ccspark-media/0.1' prefix-matches both 'cc' and 'ccspark';
         # the longer token wins
-        assert parse_robots_txt(body, "ccspark-media") == (["/ccspark/"], None)
-        assert parse_robots_txt(body, "ccbot") == (["/cc/"], None)
-        assert parse_robots_txt(body, "google") == (["/all/"], None)
+        assert parse_robots_txt(body, "ccspark-media") == (["/ccspark/"], [], None)
+        assert parse_robots_txt(body, "ccbot") == (["/cc/"], [], None)
+        assert parse_robots_txt(body, "google") == (["/all/"], [], None)
         # prefix match is on the GROUP token, not the UA: a group longer
         # than the UA does not match
-        assert parse_robots_txt(body, "c") == (["/all/"], None)
+        assert parse_robots_txt(body, "c") == (["/all/"], [], None)
 
     def test_fetch_robots_https_first_http_fallback(self, spark):
         """https:// is authoritative when reachable (even 404); http://
