@@ -249,3 +249,39 @@ class TestR4PipelineOpPlans:
     def test_host_pagerank_no_cartesian(self, spark):
         p = phys(ALL["host_pagerank"][0](spark, SF))
         assert "CartesianProduct" not in p
+
+    def test_dedup_lines_exchange_budget(self, spark):
+        """The window shuffle (line) and the reassembly shuffle (doc_id)
+        are the ONLY exchanges — chunking never explodes pre-shuffle and
+        the reassembly aggregation partial-aggregates map-side."""
+        p = phys(ALL["dedup_lines"][0](spark, SF))
+        assert "CartesianProduct" not in p
+        assert p.count("Exchange") == 2, p
+        assert "ObjectHashAggregate" in p   # partial agg before doc_id ex.
+
+    def test_sitemap_parse_single_exchange(self, spark):
+        """Parsing is a per-row from_xml expression; the only exchange is
+        the fixture-synthesis groupBy(host) (absent in a deployment that
+        reads blobs where they land)."""
+        df = ALL["sitemap_parse"][0](spark, SF)
+        p = phys(df)
+        assert p.count("Exchange") == 1, p
+        assert "from_xml" in optimized(df), "XML parse left the plan"
+
+    def test_sitemap_discover_no_exchange(self, spark):
+        p = phys(ALL["sitemap_discover"][0](spark, SF))
+        assert "Exchange" not in p, p
+
+    def test_robots_blocked_no_nested_loop(self, spark):
+        """RFC wildcard matching must stay an expression inside the
+        host_key equi-join — never a BroadcastNestedLoopJoin."""
+        from ccspark.politeness import with_robots_blocked_flag
+        cand = spark.createDataFrame(
+            [("http://h.com/a/x.html", "h.com")],
+            "url string, host_key string")
+        rb = spark.createDataFrame(
+            [("h.com", ["/*.php$"], ["/a/"])],
+            "host string, disallow array<string>, allow array<string>")
+        p = phys(with_robots_blocked_flag(cand, rb))
+        assert "BroadcastNestedLoop" not in p
+        assert "CartesianProduct" not in p
