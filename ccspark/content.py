@@ -1,0 +1,320 @@
+"""Content-pipeline operators over the interleaved-document table:
+boilerplate removal, URL tracking-parameter canonicalization,
+deterministic corpus splitting, and a positional inverted index.
+
+These extend the reference's extraction surface (cc-warc-examples stops
+at link extraction, `MediaNodeVisitor.java:61-139`) with the ops a
+training-data pipeline runs right after it:
+
+* ``boilerplate_spans`` / ``boilerplate_corpus`` — main-content
+  extraction in the boilerpipe family (Kohlschuetter et al., WSDM 2010):
+  the signal is LINK DENSITY in a local window of the document's span
+  sequence — nav bars, footers and related-links blocks are runs of
+  anchor spans with short text between them. Because the input table is
+  ALREADY the interleaved (kind, text, media_ref, offset) span sequence
+  (input_hint shape), the classifier is a pure window expression — no
+  HTML parsing, no UDF: a text span is boilerplate iff ≥ half of the
+  spans in its ±2 window are link/media spans, or its own token is
+  shorter than 3 chars (the deterministic stand-in for boilerpipe's
+  short-text-block rule). ``boilerplate_corpus`` reassembles the
+  surviving main text per document in offset order.
+* ``url_strip_tracking`` — frontier canonicalization beyond U1-U4
+  (kernels.py): strip tracking query parameters (utm_*, gclid, fbclid,
+  msclkid, mc_eid, ref) and sort the survivors, so URLs differing only
+  in click-attribution noise collapse to one seen-set key. The param
+  grammar is split/filter/sort/join on the query string — whole-stage
+  codegen, zero shuffle.
+* ``corpus_split`` — deterministic train/valid/test assignment by
+  md5(doc_id) mod 10 (8/1/1), the hash-split every training pipeline
+  needs; reproducible on any partitioning, never rand().
+* ``inverted_index`` — term → (df, cf, postings) with per-doc tf and
+  first position, postings doc_id-sorted and string-encoded: the web
+  archive's classic derived artifact (and the shape behind the
+  reference's n-gram vocab scoring, NgamFeatureSelection.java:144-203).
+
+Scale story (100 TB): boilerplate windows are per-doc bounded (rows
+between ±2), so the only exchange is the doc_id hash partition both
+queries already need; url_strip_tracking is map-only; corpus_split is
+map-only; inverted_index shuffles (term, doc_id) partial counts then
+term — the postings row for a term is O(df), so a production deployment
+range-shards postings by (term, doc_id bucket) above a df threshold and
+prunes the vocab first (A8's min-count cut), both documented here as
+the explicit scale knobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .analytics import interleaved_docs, t
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (boilerpipe-style link-density rule over spans)
+# ---------------------------------------------------------------------------
+
+#: spans in the local window on each side of the classified span
+BP_WIN = 2
+#: a text span this short is boilerplate on its own (nav-chrome rule)
+BP_MIN_TOKEN_CHARS = 3
+
+
+def classify_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, page_url, spans) → one row per span with an
+    ``is_content`` flag: text spans survive unless their ±BP_WIN window
+    is link-dense (2·links ≥ window size) or their token is shorter than
+    BP_MIN_TOKEN_CHARS; link/media spans are never content."""
+    sp = (docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+              .select("doc_id",
+                      F.col("s.offset").alias("offset"),
+                      F.col("s.kind").alias("kind"),
+                      F.col("s.text").alias("token"))
+              .withColumn("is_link",
+                          F.when(F.col("kind") != "text", 1).otherwise(0)))
+    w = (Window.partitionBy("doc_id").orderBy("offset")
+               .rowsBetween(-BP_WIN, BP_WIN))
+    sp = (sp.withColumn("win_links", F.sum("is_link").over(w))
+            .withColumn("win_n", F.count(F.lit(1)).over(w)))
+    dense = (2 * F.col("win_links")) >= F.col("win_n")
+    short = F.length("token") < BP_MIN_TOKEN_CHARS
+    return sp.withColumn(
+        "is_content",
+        F.when((F.col("is_link") == 0) & ~dense & ~short, 1).otherwise(0))
+
+
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = interleaved_docs(spark, sf_dir)
+    return (classify_spans(docs)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("offset").cast("bigint").alias("offset"),
+                    "kind", "token",
+                    F.col("is_content").cast("bigint").alias("is_content")))
+
+
+def q_boilerplate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc main-content reassembly: surviving tokens in offset
+    order, plus kept/removed counts (the trim audit record)."""
+    sp = classify_spans(interleaved_docs(spark, sf_dir))
+    kept = F.when(F.col("is_content") == 1,
+                  F.struct("offset", "token"))  # collect_list skips nulls
+    return (sp.groupBy("doc_id")
+              .agg(F.sum("is_content").alias("n_content"),
+                   (F.count(F.lit(1)) - F.sum("is_content")).alias("n_boiler"),
+                   F.array_join(
+                       F.transform(F.array_sort(F.collect_list(kept)),
+                                   lambda x: x["token"]),
+                       " ").alias("content_text"))
+              .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("n_content").cast("bigint").alias("n_content"),
+                      F.col("n_boiler").cast("bigint").alias("n_boiler"),
+                      "content_text"))
+
+
+# DuckDB twins: same token/kind derivation as SQL_SPAN_EXTRACT
+# (analytics.py), same integer window rule.
+_SQL_SPANS_BASE = (
+    "WITH tokd AS ("
+    "  SELECT doc_id, i - 1 AS off, toks[i] AS w,"
+    "   CASE WHEN ('0x' || substr(md5(concat(doc_id, '_', i - 1)), 1, 1))::INT < 7"
+    "        THEN 'text'"
+    "        WHEN ('0x' || substr(md5(concat(doc_id, '_', i - 1)), 1, 1))::INT = 7"
+    "        THEN 'img'"
+    "        WHEN ('0x' || substr(md5(concat(doc_id, '_', i - 1)), 1, 1))::INT = 8"
+    "        THEN 'a' ELSE 'iframe' END AS kind"
+    "  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')"
+    "        AS toks FROM documents),"
+    "       LATERAL unnest(generate_series(1, len(toks))) AS u(i)),"
+    " flag AS ("
+    "  SELECT doc_id, off, w, kind,"
+    "   CASE WHEN kind <> 'text' THEN 1 ELSE 0 END AS is_link FROM tokd),"
+    " win AS ("
+    "  SELECT doc_id, off, w, kind, is_link,"
+    "   sum(is_link) OVER (PARTITION BY doc_id ORDER BY off"
+    "     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS win_links,"
+    "   count(*) OVER (PARTITION BY doc_id ORDER BY off"
+    "     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS win_n FROM flag),"
+    " cls AS ("
+    "  SELECT doc_id, off, w, kind,"
+    "   CASE WHEN is_link = 0 AND NOT (2 * win_links >= win_n)"
+    "         AND NOT (length(w) < 3) THEN 1 ELSE 0 END AS is_content"
+    "  FROM win)")
+
+SQL_BOILERPLATE_SPANS = (
+    _SQL_SPANS_BASE +
+    " SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(off AS BIGINT) AS offset,"
+    "  kind, w AS token, CAST(is_content AS BIGINT) AS is_content FROM cls")
+
+SQL_BOILERPLATE_CORPUS = (
+    _SQL_SPANS_BASE +
+    " SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+    "  CAST(sum(is_content) AS BIGINT) AS n_content,"
+    "  CAST(count(*) - sum(is_content) AS BIGINT) AS n_boiler,"
+    "  coalesce(string_agg(w, ' ' ORDER BY off)"
+    "           FILTER (WHERE is_content = 1), '') AS content_text"
+    " FROM cls GROUP BY doc_id")
+
+
+# ---------------------------------------------------------------------------
+# tracking-parameter canonicalization
+# ---------------------------------------------------------------------------
+
+#: one param token looks like 'key=value'; these keys are attribution
+#: noise, not content addressing (the common subset of the uBlock/
+#: ClearURLs lists expressible as a prefix grammar)
+TRACKING_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref)="
+
+
+def strip_tracking(df: DataFrame, url_col: str = "url_raw") -> DataFrame:
+    """Add ``url_canon``: query string minus tracking params, survivors
+    sorted, '?' dropped when nothing survives. Map-only expressions."""
+    path = F.substring_index(F.col(url_col), "?", 1)
+    has_q = F.instr(F.col(url_col), "?") > 0
+    q = F.when(has_q,
+               F.expr(f"substring({url_col}, instr({url_col}, '?') + 1)")
+               ).otherwise(F.lit(""))
+    kept = F.array_sort(F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE)))
+    canon = F.when(F.size(kept) > 0,
+                   F.concat(path, F.lit("?"), F.array_join(kept, "&"))
+                   ).otherwise(path)
+    return df.withColumn("url_canon", canon)
+
+
+def synth_param_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL-with-params fixture from ``orders``: md5 nibble
+    picks which tracking/content params ride each URL."""
+    o = t(spark, sf_dir, "orders")
+    h = F.expr("CAST(conv(substring(md5(concat(o_orderkey, '')), 1, 1),"
+               " 16, 10) AS INT)")
+    url = F.concat(
+        F.lit("http://site"), F.col("o_custkey") % 100,
+        F.lit(".example.com/order/"), F.col("o_orderkey"),
+        F.lit("?id="), F.col("o_orderkey"),
+        F.when(h.bitwiseAND(1) > 0, F.lit("&utm_source=news")).otherwise(F.lit("")),
+        F.when(h.bitwiseAND(2) > 0,
+               F.concat(F.lit("&gclid=g"), F.col("o_orderkey"))).otherwise(F.lit("")),
+        F.when(h.bitwiseAND(4) > 0,
+               F.concat(F.lit("&page="), F.col("o_orderkey") % 7)).otherwise(F.lit("")),
+        F.when(h.bitwiseAND(8) > 0,
+               F.concat(F.lit("&fbclid=f"), F.col("o_custkey"))).otherwise(F.lit("")))
+    return o.select(F.col("o_orderkey").alias("key"), url.alias("url_raw"))
+
+
+def q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = strip_tracking(synth_param_urls(spark, sf_dir))
+    return out.select(F.col("key").cast("bigint").alias("key"),
+                      "url_raw", "url_canon")
+
+
+SQL_URL_STRIP_TRACKING = (
+    "WITH u AS ("
+    "  SELECT o_orderkey AS key,"
+    "   concat('http://site', o_custkey % 100, '.example.com/order/',"
+    "    o_orderkey, '?id=', o_orderkey,"
+    "    CASE WHEN ('0x' || substr(md5(concat(o_orderkey, '')), 1, 1))::INT & 1 > 0"
+    "         THEN '&utm_source=news' ELSE '' END,"
+    "    CASE WHEN ('0x' || substr(md5(concat(o_orderkey, '')), 1, 1))::INT & 2 > 0"
+    "         THEN concat('&gclid=g', o_orderkey) ELSE '' END,"
+    "    CASE WHEN ('0x' || substr(md5(concat(o_orderkey, '')), 1, 1))::INT & 4 > 0"
+    "         THEN concat('&page=', o_orderkey % 7) ELSE '' END,"
+    "    CASE WHEN ('0x' || substr(md5(concat(o_orderkey, '')), 1, 1))::INT & 8 > 0"
+    "         THEN concat('&fbclid=f', o_custkey) ELSE '' END) AS url_raw"
+    "  FROM orders),"
+    " parts AS ("
+    "  SELECT key, url_raw, string_split(url_raw, '?')[1] AS path,"
+    "   list_sort(list_filter("
+    "     string_split(string_split(url_raw, '?')[2], '&'),"
+    "     p -> p <> '' AND NOT regexp_matches(p,"
+    "       '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref)='))) AS kept"
+    "  FROM u)"
+    " SELECT CAST(key AS BIGINT) AS key, url_raw,"
+    "  CASE WHEN len(kept) > 0"
+    "       THEN concat(path, '?', array_to_string(kept, '&'))"
+    "       ELSE path END AS url_canon"
+    " FROM parts")
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus split
+# ---------------------------------------------------------------------------
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/valid/test = md5(doc_id) mod 10 → 8/1/1; hash-of-key, never
+    rand(), so the assignment is stable across partitionings and reruns
+    (the property a decontamination audit depends on)."""
+    d = t(spark, sf_dir, "documents")
+    b = F.expr("CAST(conv(substring(md5(concat(doc_id, '')), 1, 2),"
+               " 16, 10) AS INT) % 10")
+    split = (F.when(b <= 7, "train").when(b == 8, "valid")
+              .otherwise("test"))
+    return d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "lang", split.alias("split"))
+
+
+SQL_CORPUS_SPLIT = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,"
+    " CASE WHEN ('0x' || substr(md5(concat(doc_id, '')), 1, 2))::INT % 10 <= 7"
+    "      THEN 'train'"
+    "      WHEN ('0x' || substr(md5(concat(doc_id, '')), 1, 2))::INT % 10 = 8"
+    "      THEN 'valid' ELSE 'test' END AS split"
+    " FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# positional inverted index
+# ---------------------------------------------------------------------------
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term → df (docs), cf (total occurrences), postings
+    'doc:tf:first_pos' doc_id-sorted. Two exchanges: (term, doc_id)
+    partial counts (map-side combinable), then term. Postings rows are
+    O(df) — the production knobs are the A8 min-df vocab cut and
+    range-sharding hot terms' postings by doc_id bucket (docstring
+    contract; the fixture vocab is 31 terms so neither triggers)."""
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id",
+                    F.posexplode(F.expr(
+                        "filter(split(text, ' '), x -> x <> '')"))
+                     .alias("pos", "term")))
+    per_doc = (tok.groupBy("term", "doc_id")
+                  .agg(F.count(F.lit(1)).alias("tf"),
+                       F.min("pos").alias("first_pos")))
+    return (per_doc.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("tf").alias("cf"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("doc_id", "tf", "first_pos"))),
+                         lambda x: F.concat_ws(
+                             ":", x["doc_id"], x["tf"], x["first_pos"])),
+                     " ").alias("postings"))
+            .select("term", F.col("df").cast("bigint").alias("df"),
+                    F.col("cf").cast("bigint").alias("cf"), "postings"))
+
+
+SQL_INVERTED_INDEX = (
+    "WITH tokd AS ("
+    "  SELECT doc_id, i - 1 AS pos, toks[i] AS term"
+    "  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')"
+    "        AS toks FROM documents),"
+    "       LATERAL unnest(generate_series(1, len(toks))) AS u(i)),"
+    " per_doc AS ("
+    "  SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos"
+    "  FROM tokd GROUP BY term, doc_id)"
+    " SELECT term, CAST(count(*) AS BIGINT) AS df,"
+    "  CAST(sum(tf) AS BIGINT) AS cf,"
+    "  string_agg(concat(doc_id, ':', tf, ':', first_pos), ' '"
+    "             ORDER BY doc_id) AS postings"
+    " FROM per_doc GROUP BY term")
+
+
+REG: dict[str, tuple] = {
+    "boilerplate_spans": (q_boilerplate_spans, SQL_BOILERPLATE_SPANS),
+    "boilerplate_corpus": (q_boilerplate_corpus, SQL_BOILERPLATE_CORPUS),
+    "url_strip_tracking": (q_url_strip_tracking, SQL_URL_STRIP_TRACKING),
+    "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+}

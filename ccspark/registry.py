@@ -15,9 +15,9 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from . import (analytics, cdx, dedup, htmlspans, incremental, multimodal,
-               recrawl, scrub, similarity, sitemap, textops, vlad, warc,
-               webgraph)
+from . import (analytics, cdx, content, dedup, htmlspans, incremental,
+               multimodal, recrawl, scrub, similarity, sitemap, textops,
+               vlad, warc, webgraph)
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -152,7 +152,7 @@ CRAWL_REG = {
 # ---------------------------------------------------------------------------
 
 _MERGED: dict[str, tuple] = {}
-for mod in (analytics, cdx, dedup, incremental, similarity, textops,
+for mod in (analytics, cdx, content, dedup, incremental, similarity, textops,
             multimodal, warc,
             htmlspans, vlad, scrub, webgraph, recrawl, sitemap):
     overlap = _MERGED.keys() & mod.REG.keys()
