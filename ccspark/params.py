@@ -29,6 +29,11 @@ class CrawlParams:
     #: rounds (Iceberg rewrite-data-files analog); None = never. Purely a
     #: maintenance operation — results are unchanged (tested).
     compact_seen_every: int | None = None
+    #: after each compaction, expire snapshot history down to the last k
+    #: versions per maintained table (Iceberg expire_snapshots analog;
+    #: chain-closure keeps read_chain intact — tables.py). Requires
+    #: compact_seen_every; None = keep all history (full time travel).
+    expire_keep_last: int | None = None
     #: recrawl policy (U5's deletion path in the round loop): at the start
     #: of round r, URLs scheduled in round r - recrawl_after_rounds whose
     #: fetch FAILED (status != 200) are removed from the seen set

@@ -432,6 +432,15 @@ class CrawlEngine:
             # snapshots as orphans of a crashed attempt and deletes
             # them, silently re-growing the chains it just bounded.
             self.store.commit_round(r, versions, m, batch_id=batch_id)
+            if p.expire_keep_last is not None:
+                # history GC after the re-commit: the fresh 'full'
+                # snapshots are now the chain bases, so everything
+                # before them is reclaimable without touching any
+                # version the round log of record references
+                for tbl in (self.seen.seen_tbl, self.seen.filter_tbl,
+                            self.frontier_tbl):
+                    tbl.expire_snapshots(p.expire_keep_last)
+                    tbl.remove_orphans()
         for df in ((new, frontier, sched)
                    + ((stale,) if stale is not None else ())
                    + ((cached_adm,) if cached_adm is not None else ())):

@@ -143,6 +143,67 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
+    # -- maintenance (Iceberg expire_snapshots / remove_orphan_files) -------
+
+    def expire_snapshots(self, keep_last: int,
+                         older_than_s: float = 0.0) -> list[int]:
+        """Drop manifests + data of versions outside the retention
+        window — the Iceberg `expire_snapshots` analog. The retained set
+        is CLOSED over append chains: for every retained version v, its
+        chain base (last 'full' ≤ v) and all deltas in [base, v] survive,
+        so `read_chain(v)` never silently loses rows. Consequence
+        (matching Iceberg's files-referenced-by-live-snapshots rule): an
+        append chain that was never compacted cannot be expired — run
+        `compact_chain` first, then expiration reclaims the pre-base
+        history. Expired versions stop being time-travelable (`read`
+        raises). The latest version is never expired. Returns the
+        versions removed."""
+        vs = self.versions()
+        if not vs or keep_last < 1:
+            return []
+        keep = set(vs[-keep_last:])
+        fulls = [v for v in vs if self.meta(v).get("kind") == "full"]
+        for v in list(keep):
+            base = 0
+            for f in fulls:
+                if f <= v:
+                    base = f
+            keep.update(x for x in vs if base <= x <= v)
+        now = time.time()
+        expired = []
+        for v in vs:
+            if v in keep:
+                continue
+            if now - self.meta(v).get("committed_at", 0.0) < older_than_s:
+                continue
+            os.remove(os.path.join(self.snap_dir, f"v{v}.json"))
+            p = os.path.join(self.dir, f"v{v}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            expired.append(v)
+        return expired
+
+    def remove_orphans(self, older_than_s: float = 0.0) -> list[str]:
+        """Delete `v{N}` data directories that have no manifest — the
+        leftovers of a commit that crashed between the parquet write and
+        the manifest rename (commit's crash contract). `older_than_s`
+        guards a CONCURRENT in-flight commit's directory (Iceberg's
+        `older_than` on remove_orphan_files); the engine's single-writer
+        rounds can use 0."""
+        have = set(self.versions())
+        removed = []
+        for n in sorted(os.listdir(self.dir)):
+            if not (n.startswith("v") and n[1:].isdigit()):
+                continue
+            p = os.path.join(self.dir, n)
+            if int(n[1:]) in have or not os.path.isdir(p):
+                continue
+            if time.time() - os.path.getmtime(p) < older_than_s:
+                continue
+            shutil.rmtree(p)
+            removed.append(n)
+        return removed
+
     def rollback_to(self, version: int) -> None:
         """Drop snapshots newer than `version` (crash-recovery helper)."""
         for v in self.versions():
