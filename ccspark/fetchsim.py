@@ -24,20 +24,41 @@ def fetch_key(url_col="url"):
     return F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("long")
 
 
-def with_fetch_sim(scheduled: DataFrame, url_col: str = "url") -> DataFrame:
+def with_fetch_sim(scheduled: DataFrame, url_col: str = "url",
+                   redirects: bool = False) -> DataFrame:
     """Attach deterministic fetch outcome columns:
     status (95% → 200, else 404), content_type (by media/video suffix,
     F6/F7 predicates; else text/html), content_length, latency_ms, and
-    fetch_id (full md5 — the reference's dedup key / filename analog)."""
+    fetch_id (full md5 — the reference's dedup key / filename analog).
+
+    redirects=True carves a 301 band OUT OF the 404 band (key mod 100 in
+    [95, 97) → 301 with a deterministic `redirect_to` = url + '/moved';
+    appending keeps any URL shape valid and same-host, so robots and
+    politeness apply to the target unchanged). The 200 band is untouched,
+    so enabling redirects never changes a successful fetch's outcome —
+    the pinned fetch_sim oracle and the redirect-off crawl ordering stay
+    bit-identical. The reference follows redirects implicitly
+    (HttpURLConnection setInstanceFollowRedirects default,
+    ProcessingService.java:329-388); here the hop is explicit frontier
+    traffic so the seen set dedups targets and ordering stays total."""
     key = fetch_key(url_col)
     url = F.col(url_col)
     is_video = url.rlike(K.SPARK_VIDEO_RE)
     is_media = url.rlike(K.SPARK_MEDIA_RE)
-    return (scheduled
-            .withColumn("fetch_key", key)
-            .withColumn("status",
-                        F.when(F.pmod(F.col("fetch_key"), F.lit(100)) < 95, 200)
-                        .otherwise(404))
+    band = F.pmod(F.col("fetch_key"), F.lit(100))
+    if redirects:
+        status = (F.when(band < 95, 200).when(band < 97, 301)
+                   .otherwise(404))
+    else:
+        status = F.when(band < 95, 200).otherwise(404)
+    out = (scheduled
+           .withColumn("fetch_key", key)
+           .withColumn("status", status))
+    if redirects:
+        out = out.withColumn(
+            "redirect_to",
+            F.when(F.col("status") == 301, F.concat(url, F.lit("/moved"))))
+    return (out
             .withColumn("content_type",
                         F.when(is_video, F.lit("video/mp4"))
                         .when(is_media, F.lit("image/jpeg"))

@@ -332,14 +332,30 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         # 5. deterministic fetch-sim (md5-keyed; ccspark.fetchsim mirrors this)
         candidates = []
         fetched_pages = 0
+        redirects = []
         for c in scheduled:
             key = K.md5_key_one(c["url"])
-            status = 200 if key % 100 < 95 else 404
+            band = key % 100
+            status = (200 if band < 95
+                      else 301 if params.follow_redirects and band < 97
+                      else 404)
             doc = docs_by_url.get(c["url"])
             if status == 200 and doc is not None:
                 fetched_pages += 1
                 candidates.extend(extract_links_py(doc, params.follow_links))
+            elif status == 301:
+                # mirrors CrawlEngine.run_round's redirect candidates:
+                # target = url + '/moved', lineage kind='redirect'
+                redirects.append({
+                    "url_raw": c["url"] + "/moved", "page_url": c["url"],
+                    "kind": "redirect", "alt": "", "parent_txt": "",
+                    "dom_depth": 0, "dom_sib": 0,
+                    "src_doc_id": "redirect", "offset": 0,
+                })
+        candidates.extend(redirects)
         m["pages_discovered"] = fetched_pages
+        if params.follow_redirects:
+            m["redirects_followed"] = len(redirects)
         res.metrics.append(m)
 
     return res

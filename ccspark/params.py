@@ -34,6 +34,14 @@ class CrawlParams:
     #: chain-closure keeps read_chain intact — tables.py). Requires
     #: compact_seen_every; None = keep all history (full time travel).
     expire_keep_last: int | None = None
+    #: follow 301 redirects (fetchsim's deterministic [95,97) band): the
+    #: Location target re-enters the frontier as a kind='redirect'
+    #: candidate next round — canonicalized, robots-checked, seen-deduped
+    #: and politeness-budgeted like any link. Composes with
+    #: recrawl_after_rounds: a 301 is a non-200, so its SOURCE is also
+    #: eligible for recrawl (both engines mirror this). Default OFF —
+    #: reference-parity fetch outcomes unchanged.
+    follow_redirects: bool = False
     #: recrawl policy (U5's deletion path in the round loop): at the start
     #: of round r, URLs scheduled in round r - recrawl_after_rounds whose
     #: fetch FAILED (status != 200) are removed from the seen set

@@ -383,7 +383,8 @@ class CrawlEngine:
         sched = (schedule_frontier(frontier, self.robots, p)
                  .observe(obs_sched, F.count(F.lit(1)).alias("n"))
                  .cache())
-        fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p))
+        fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p),
+                                  redirects=p.follow_redirects)
                    .withColumn("fetch_round", F.lit(r)))
         versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
         m["scheduled"] = _observed_count(obs_sched, sched)
@@ -400,8 +401,34 @@ class CrawlEngine:
                                 self.docs)
                 .observe(obs_hits, F.count(F.lit(1)).alias("n")))
         next_cand = extract_links(hits, follow_links=p.follow_links)
+        obs_redir = None
+        if p.follow_redirects:
+            # 301 targets re-enter the frontier as candidates with
+            # redirect lineage (page_url = the redirecting URL, so a
+            # relative Location would resolve against it); they then
+            # flow through the NORMAL canonicalize → robots → seen-dedup
+            # → politeness pipeline — a redirect is frontier traffic,
+            # not a side channel, which is what keeps ordering total
+            # and targets deduped at 10^10 scale
+            obs_redir = Observation()
+            redir = (self.scheduled_tbl.read(versions["scheduled"])
+                     .filter(F.col("status") == 301)
+                     .select(F.col("redirect_to").alias("url_raw"),
+                             F.col("url").alias("page_url"),
+                             F.lit("redirect").alias("kind"),
+                             F.lit("").alias("alt"),
+                             F.lit("").alias("parent_txt"),
+                             F.lit(0).alias("dom_depth"),
+                             F.lit(0).alias("dom_sib"),
+                             F.lit("redirect").alias("src_doc_id"),
+                             F.lit(0).alias("offset"),
+                             F.lit(None).cast("long").alias("event_ms"))
+                     .observe(obs_redir, F.count(F.lit(1)).alias("n")))
+            next_cand = next_cand.select(*redir.columns).unionByName(redir)
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
         m["pages_discovered"] = _observed_count(obs_hits, hits)
+        if obs_redir is not None:
+            m["redirects_followed"] = _observed_count(obs_redir, redir)
 
         # A13 phase-timer analog: wall time is observability only — never
         # part of the oracle-checked metric set
