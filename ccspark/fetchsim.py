@@ -24,8 +24,15 @@ def fetch_key(url_col="url"):
     return F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("long")
 
 
+def fetch_key2(url_col="url"):
+    """Second independent 60-bit key (md5 hex digits 17-31) — mirrors
+    kernels.md5_key2_one. Drives the revisit changed/not-modified coin."""
+    return F.conv(F.substring(F.md5(F.col(url_col)), 17, 15), 16, 10).cast("long")
+
+
 def with_fetch_sim(scheduled: DataFrame, url_col: str = "url",
-                   redirects: bool = False) -> DataFrame:
+                   redirects: bool = False,
+                   revisit_changed_pct: int | None = None) -> DataFrame:
     """Attach deterministic fetch outcome columns:
     status (95% → 200, else 404), content_type (by media/video suffix,
     F6/F7 predicates; else text/html), content_length, latency_ms, and
@@ -40,7 +47,14 @@ def with_fetch_sim(scheduled: DataFrame, url_col: str = "url",
     bit-identical. The reference follows redirects implicitly
     (HttpURLConnection setInstanceFollowRedirects default,
     ProcessingService.java:329-388); here the hop is explicit frontier
-    traffic so the seen set dedups targets and ordering stays total."""
+    traffic so the seen set dedups targets and ordering stays total.
+
+    revisit_changed_pct: rows marked src_doc_id='revisit' (re-admitted by
+    CrawlParams.revisit_after_rounds) whose primary band is a success
+    answer 200 (changed) when a SECOND independent md5 band
+    (fetch_key2 mod 100, hex digits 17-31) < revisit_changed_pct, else
+    304 Not Modified — the conditional-GET outcome. First-fetch rows are
+    untouched, so every pinned default oracle stays bit-identical."""
     key = fetch_key(url_col)
     url = F.col(url_col)
     is_video = url.rlike(K.SPARK_VIDEO_RE)
@@ -51,6 +65,11 @@ def with_fetch_sim(scheduled: DataFrame, url_col: str = "url",
                    .otherwise(404))
     else:
         status = F.when(band < 95, 200).otherwise(404)
+    if revisit_changed_pct is not None:
+        band2 = F.pmod(fetch_key2(url_col), F.lit(100))
+        status = F.when(
+            (F.col("src_doc_id") == "revisit") & (band < 95)
+            & (band2 >= revisit_changed_pct), 304).otherwise(status)
     out = (scheduled
            .withColumn("fetch_key", key)
            .withColumn("status", status))

@@ -352,6 +352,14 @@ def md5_keys(urls: pd.Series) -> pd.Series:
     return urls.map(md5_key_one).astype("int64")
 
 
+def md5_key2_one(url: str) -> int:
+    """Second independent 60-bit key: hex digits 17-31 of the same md5.
+    Drives the change-at-revisit coin in fetchsim so it is independent of
+    the primary status band (digits 1-15) — a URL's first-fetch outcome
+    and its changed/not-modified revisit outcome never correlate."""
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[16:31], 16)
+
+
 # --------------------------------------------------------------------------
 # priority features (ProcessingService.getFeatureVector, 23 dims)
 # --------------------------------------------------------------------------

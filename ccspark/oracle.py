@@ -175,8 +175,10 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         # the recomputed priority is identical in both engines)
         if (params.recrawl_after_rounds is not None
                 and r >= params.recrawl_after_rounds):
+            # eligibility from the RECORDED fetch outcome (set in step 5);
+            # 304 Not Modified is a success — never failure-recrawled
             stale = [c for c in res.scheduled[r - params.recrawl_after_rounds]
-                     if K.md5_key_one(c["url"]) % 100 >= 95]
+                     if c["status"] not in (200, 304)]
             for c in stale:
                 res.seen.pop(c["url"], None)
             m["recrawled"] = len(stale)
@@ -186,6 +188,23 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                 "dom_depth": c["dom_depth"], "dom_sib": c["dom_sib"],
                 "src_doc_id": c["src_doc_id"], "offset": c["offset"],
             } for c in stale] + candidates
+        # 0b. revisit policy (mirrors CrawlEngine.run_round): successful
+        # fetches from k rounds ago leave the seen set and re-enter
+        # marked src_doc_id='revisit' (priority inputs verbatim —
+        # src_doc_id is only the dedup tie-break / fetchsim marker)
+        if (params.revisit_after_rounds is not None
+                and r >= params.revisit_after_rounds):
+            fresh = [c for c in res.scheduled[r - params.revisit_after_rounds]
+                     if c["status"] in (200, 304)]
+            for c in fresh:
+                res.seen.pop(c["url"], None)
+            m["revisited"] = len(fresh)
+            candidates = [{
+                "url_raw": c["url"], "page_url": "", "kind": c["kind"],
+                "alt": c["alt"], "parent_txt": c["parent_txt"],
+                "dom_depth": c["dom_depth"], "dom_sib": c["dom_sib"],
+                "src_doc_id": "revisit", "offset": 0,
+            } for c in fresh] + candidates
         m["candidates_in"] = len(candidates)
         # 1. canonicalize (kernels = same code as the engine UDFs)
         canon = []
@@ -333,12 +352,22 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         candidates = []
         fetched_pages = 0
         redirects = []
+        n_not_modified = 0
         for c in scheduled:
             key = K.md5_key_one(c["url"])
             band = key % 100
             status = (200 if band < 95
                       else 301 if params.follow_redirects and band < 97
                       else 404)
+            # revisit conditional-GET: second independent md5 band decides
+            # changed (200) vs 304 Not Modified (mirrors fetchsim)
+            if (params.revisit_after_rounds is not None
+                    and c["src_doc_id"] == "revisit" and band < 95
+                    and (K.md5_key2_one(c["url"]) % 100
+                         >= params.revisit_changed_pct)):
+                status = 304
+                n_not_modified += 1
+            c["status"] = status
             doc = docs_by_url.get(c["url"])
             if status == 200 and doc is not None:
                 fetched_pages += 1
@@ -356,6 +385,8 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         m["pages_discovered"] = fetched_pages
         if params.follow_redirects:
             m["redirects_followed"] = len(redirects)
+        if params.revisit_after_rounds is not None:
+            m["not_modified"] = n_not_modified
         res.metrics.append(m)
 
     return res

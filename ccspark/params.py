@@ -49,6 +49,21 @@ class CrawlParams:
     #: rebuild) and re-injected as candidates, re-entering the normal
     #: canonicalize → robots → dedup → schedule pipeline. None = never.
     recrawl_after_rounds: int | None = None
+    #: revisit policy (freshness maintenance, the conditional-GET shape):
+    #: at the start of round r, URLs scheduled in round
+    #: r - revisit_after_rounds whose fetch SUCCEEDED (status 200 or 304)
+    #: leave the seen set and re-enter as candidates marked
+    #: src_doc_id='revisit' (priority inputs carried verbatim, so ordering
+    #: is lineage-stable; src_doc_id is only the dedup tie-break). At
+    #: fetch time a revisit in the 200 band answers 200 (content changed,
+    #: links re-extracted — all dups vs seen) or 304 Not Modified (no
+    #: re-extraction: discovered_docs keys on status==200), decided by a
+    #: SECOND md5 band (kernels.md5_key2_one — independent of the primary
+    #: band) < revisit_changed_pct. A 304 is a success: it is NOT eligible
+    #: for failure-recrawl, and it stays on the revisit schedule. None =
+    #: never (default — reference-parity outcomes unchanged).
+    revisit_after_rounds: int | None = None
+    revisit_changed_pct: int = 50
     #: robots-cache staleness (U12): entries older than robots_max_age_ms at
     #: crawl_as_of_ms are treated as absent (no disallow, default crawl
     #: delay). Both must be set to enable; as-of is an explicit parameter —

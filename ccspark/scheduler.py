@@ -249,9 +249,11 @@ class CrawlEngine:
                 and self.scheduled_tbl.exists()):
             obs_rc = Observation()
             stale = (self.scheduled_tbl.read_chain()
+                     # 304 Not Modified is a SUCCESS (revisit policy) —
+                     # never failure-recrawled
                      .filter((F.col("fetch_round")
                               == r - p.recrawl_after_rounds)
-                             & (F.col("status") != 200))
+                             & ~F.col("status").isin(200, 304))
                      .observe(obs_rc, F.count(F.lit(1)).alias("n"))
                      .cache())
             self.seen.remove(stale.select("url"), r)
@@ -263,6 +265,37 @@ class CrawlEngine:
                 F.lit(None).cast("long").alias("event_ms"))
             candidates = stale_cand.unionByName(
                 candidates.select(*stale_cand.columns))
+
+        # revisit policy (freshness maintenance): successful fetches from
+        # k rounds ago leave the seen set and re-enter as candidates
+        # marked src_doc_id='revisit' — fetchsim answers 200 (changed,
+        # re-extract) or 304 Not Modified (skip extraction) on the second
+        # md5 band. Same tombstone-delta + normal-pipeline shape as
+        # recrawl; oracle mirror in ccspark.oracle (exact parity tested).
+        fresh = None
+        if (p.revisit_after_rounds is not None
+                and r >= p.revisit_after_rounds
+                and self.scheduled_tbl.exists()):
+            obs_rv = Observation()
+            fresh = (self.scheduled_tbl.read_chain()
+                     .filter((F.col("fetch_round")
+                              == r - p.revisit_after_rounds)
+                             & F.col("status").isin(200, 304))
+                     .observe(obs_rv, F.count(F.lit(1)).alias("n"))
+                     .cache())
+            self.seen.remove(fresh.select("url"), r)
+            m["revisited"] = _observed_count(obs_rv, fresh)
+            fresh_cand = fresh.select(
+                F.col("url").alias("url_raw"), F.lit("").alias("page_url"),
+                "kind", "alt", "parent_txt", "dom_depth", "dom_sib",
+                # priority inputs carried verbatim (ordering stays
+                # lineage-stable); src_doc_id is ONLY the batch-dedup
+                # tie-break and the fetchsim revisit marker
+                F.lit("revisit").alias("src_doc_id"),
+                F.lit(0).alias("offset"),
+                F.lit(None).cast("long").alias("event_ms"))
+            candidates = fresh_cand.unionByName(
+                candidates.select(*fresh_cand.columns))
 
         # EVERY admission metric rides the seen-delta commit's action as
         # an Observation — per-round job count is the driver-side cost
@@ -384,10 +417,25 @@ class CrawlEngine:
                  .observe(obs_sched, F.count(F.lit(1)).alias("n"))
                  .cache())
         fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p),
-                                  redirects=p.follow_redirects)
+                                  redirects=p.follow_redirects,
+                                  revisit_changed_pct=(
+                                      p.revisit_changed_pct
+                                      if p.revisit_after_rounds is not None
+                                      else None))
                    .withColumn("fetch_round", F.lit(r)))
+        obs_nm = None
+        if p.revisit_after_rounds is not None:
+            obs_nm = Observation()
+            fetched = fetched.observe(
+                obs_nm, F.coalesce(
+                    F.sum((F.col("status") == 304).cast("long")),
+                    F.lit(0)).alias("n"))
         versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
         m["scheduled"] = _observed_count(obs_sched, sched)
+        if obs_nm is not None:
+            m["not_modified"] = int(_observed_count(
+                obs_nm, self.scheduled_tbl.read(versions["scheduled"])
+                .filter(F.col("status") == 304)))
 
         versions["frontier"] = self.frontier_tbl.commit(
             new_frontier, r, repartition=(min(p.seen_partitions, 32), "bucket"))
@@ -470,6 +518,7 @@ class CrawlEngine:
                     tbl.remove_orphans()
         for df in ((new, frontier, sched)
                    + ((stale,) if stale is not None else ())
+                   + ((fresh,) if fresh is not None else ())
                    + ((cached_adm,) if cached_adm is not None else ())):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
