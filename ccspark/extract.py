@@ -42,11 +42,16 @@ def extract_links(docs: DataFrame, follow_links: bool = True) -> DataFrame:
     event_ms = (F.col("fetch_ms").cast("long") if "fetch_ms" in docs.columns
                 else F.lit(None).cast("long"))
     sp = F.col("sp")
+    # max-hops lineage: when the discovery join carried the source page's
+    # hop (discovered_docs carry_cols), every extracted link is hop + 1
+    hop_cols = ([(F.col("hop") + F.lit(1)).cast("int").alias("hop")]
+                if "hop" in docs.columns else [])
     exploded = docs.select(
         F.col("doc_id").alias("src_doc_id"),
         "page_url",
         (F.size("spans") - F.lit(1)).alias("dom_sib"),
         event_ms.alias("event_ms"),
+        *hop_cols,
         F.explode("spans").alias("sp"),
     )
     ref = sp.getField("media_ref")
@@ -72,6 +77,7 @@ def extract_links(docs: DataFrame, follow_links: bool = True) -> DataFrame:
             "src_doc_id",
             sp.getField("offset").cast("int").alias("offset"),
             "event_ms",
+            *(["hop"] if hop_cols else []),
         )
     )
 

@@ -89,9 +89,17 @@ def with_fetch_sim(scheduled: DataFrame, url_col: str = "url",
             .withColumn("fetch_id", F.md5(url)))
 
 
-def discovered_docs(fetched: DataFrame, docs: DataFrame) -> DataFrame:
+def discovered_docs(fetched: DataFrame, docs: DataFrame,
+                    carry_cols: tuple = ()) -> DataFrame:
     """Scheduled-and-200 URLs that hit a document's page_url — the crawl's
     page-discovery join. Equi-join on the URL; doc side is pruned to
-    (page_url, doc_id, spans) so column pruning reaches the parquet scan."""
-    pages = fetched.filter(F.col("status") == 200).select(F.col("url").alias("page_url"))
+    (page_url, doc_id, spans) so column pruning reaches the parquet scan.
+
+    carry_cols: extra fetched-side lineage columns (e.g. `hop` for the
+    max-hops control) attached to the matched docs — the join becomes
+    inner (page_url is the doc key, so cardinality is unchanged)."""
+    pages = fetched.filter(F.col("status") == 200).select(
+        F.col("url").alias("page_url"), *carry_cols)
+    if carry_cols:
+        return docs.join(pages, "page_url", "inner")
     return docs.join(pages, "page_url", "left_semi")

@@ -187,6 +187,8 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                 "alt": c["alt"], "parent_txt": c["parent_txt"],
                 "dom_depth": c["dom_depth"], "dom_sib": c["dom_sib"],
                 "src_doc_id": c["src_doc_id"], "offset": c["offset"],
+                **({"hop": c["hop"]} if params.max_hops is not None
+                   else {}),
             } for c in stale] + candidates
         # 0b. revisit policy (mirrors CrawlEngine.run_round): successful
         # fetches from k rounds ago leave the seen set and re-enter
@@ -204,7 +206,19 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                 "alt": c["alt"], "parent_txt": c["parent_txt"],
                 "dom_depth": c["dom_depth"], "dom_sib": c["dom_sib"],
                 "src_doc_id": "revisit", "offset": 0,
+                **({"hop": c["hop"]} if params.max_hops is not None
+                   else {}),
             } for c in fresh] + candidates
+        # 0c. max-hops control (mirrors CrawlEngine.run_round): default
+        # missing hop lineage to 0, drop beyond-limit candidates before
+        # admission; candidates_in counts survivors
+        if params.max_hops is not None:
+            for c in candidates:
+                c.setdefault("hop", 0)
+            before_hx = len(candidates)
+            candidates = [c for c in candidates
+                          if c["hop"] <= params.max_hops]
+            m["hops_exceeded"] = before_hx - len(candidates)
         m["candidates_in"] = len(candidates)
         # 1. canonicalize (kernels = same code as the engine UDFs)
         canon = []
@@ -371,7 +385,11 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             doc = docs_by_url.get(c["url"])
             if status == 200 and doc is not None:
                 fetched_pages += 1
-                candidates.extend(extract_links_py(doc, params.follow_links))
+                exts = extract_links_py(doc, params.follow_links)
+                if params.max_hops is not None:
+                    for e in exts:
+                        e["hop"] = c["hop"] + 1
+                candidates.extend(exts)
             elif status == 301:
                 # mirrors CrawlEngine.run_round's redirect candidates:
                 # target = url + '/moved', lineage kind='redirect'
@@ -380,6 +398,9 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                     "kind": "redirect", "alt": "", "parent_txt": "",
                     "dom_depth": 0, "dom_sib": 0,
                     "src_doc_id": "redirect", "offset": 0,
+                    # a followed redirect is one hop (Heritrix R-hop)
+                    **({"hop": c["hop"] + 1}
+                       if params.max_hops is not None else {}),
                 })
         candidates.extend(redirects)
         m["pages_discovered"] = fetched_pages

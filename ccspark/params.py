@@ -64,6 +64,18 @@ class CrawlParams:
     #: never (default — reference-parity outcomes unchanged).
     revisit_after_rounds: int | None = None
     revisit_changed_pct: int = 50
+    #: maximum link-hop distance from a seed (the Heritrix max-hops /
+    #: BUbiNG maxDepth frontier control): when set, every candidate
+    #: carries a `hop` lineage column — seeds/sitemap entries hop 0,
+    #: extracted links and followed redirects source-hop + 1,
+    #: recrawl/revisit re-injections carry their hop verbatim — and
+    #: candidates with hop > max_hops are dropped BEFORE admission
+    #: (metric `hops_exceeded`; candidates_in counts survivors). The
+    #: frontier/scheduled tables gain the hop column only when enabled,
+    #: so default-off table schemas — and every pinned oracle — are
+    #: unchanged. Per-crawl constant: never toggle on an existing state
+    #: dir (the column would be absent from earlier snapshots).
+    max_hops: int | None = None
     #: robots-cache staleness (U12): entries older than robots_max_age_ms at
     #: crawl_as_of_ms are treated as absent (no disallow, default crawl
     #: delay). Both must be set to enable; as-of is an explicit parameter —

@@ -262,7 +262,10 @@ class CrawlEngine:
                 F.col("url").alias("url_raw"), F.lit("").alias("page_url"),
                 "kind", "alt", "parent_txt", "dom_depth", "dom_sib",
                 "src_doc_id", "offset",
-                F.lit(None).cast("long").alias("event_ms"))
+                F.lit(None).cast("long").alias("event_ms"),
+                # max-hops lineage carried verbatim: a re-fetch is the
+                # same URL at the same link distance
+                *(["hop"] if p.max_hops is not None else []))
             candidates = stale_cand.unionByName(
                 candidates.select(*stale_cand.columns))
 
@@ -293,9 +296,28 @@ class CrawlEngine:
                 # tie-break and the fetchsim revisit marker
                 F.lit("revisit").alias("src_doc_id"),
                 F.lit(0).alias("offset"),
-                F.lit(None).cast("long").alias("event_ms"))
+                F.lit(None).cast("long").alias("event_ms"),
+                *(["hop"] if p.max_hops is not None else []))
             candidates = fresh_cand.unionByName(
                 candidates.select(*fresh_cand.columns))
+
+        # max-hops frontier control (Heritrix max-hops): default missing
+        # hop lineage to 0 (seed round, external candidate files), then
+        # drop candidates beyond the limit BEFORE admission. The dropped
+        # count rides the same job as every other admission metric.
+        obs_hx = None
+        cand_pre = None
+        if p.max_hops is not None:
+            if "hop" not in candidates.columns:
+                candidates = candidates.withColumn(
+                    "hop", F.lit(0).cast("int"))
+            obs_hx = Observation()
+            cand_pre = candidates
+            candidates = (candidates
+                          .observe(obs_hx, F.coalesce(
+                              F.sum((F.col("hop") > p.max_hops)
+                                    .cast("long")), F.lit(0)).alias("n"))
+                          .filter(F.col("hop") <= p.max_hops))
 
         # EVERY admission metric rides the seen-delta commit's action as
         # an Observation — per-round job count is the driver-side cost
@@ -373,6 +395,9 @@ class CrawlEngine:
         if trap_version is not None:
             versions["traps"] = trap_version
         m["candidates_in"] = _observed_count(obs_in, candidates)
+        if obs_hx is not None:
+            m["hops_exceeded"] = int(_observed_count(
+                obs_hx, cand_pre.filter(F.col("hop") > p.max_hops)))
         n_canon = _observed_count(obs_canon, canon)
         n_adm = _observed_count(obs_adm, pre_trap)
         m["malformed_dropped"] = m["candidates_in"] - n_canon
@@ -406,7 +431,9 @@ class CrawlEngine:
         # compaction (below) periodically materializes the live set as a
         # 'full' snapshot to bound the subtraction chain (the Iceberg
         # merge-on-read + rewrite-data-files pattern).
-        new_frontier = new.select(*FRONTIER_COLS)
+        new_frontier = new.select(
+            *FRONTIER_COLS,
+            *(["hop"] if p.max_hops is not None else []))
         live = self.live_frontier()
         frontier = (live.unionByName(new_frontier)
                     if live is not None else new_frontier).cache()
@@ -446,7 +473,10 @@ class CrawlEngine:
         # discovered-pages count observed on the next-candidates commit
         obs_hits = Observation()
         hits = (discovered_docs(self.scheduled_tbl.read(versions["scheduled"]),
-                                self.docs)
+                                self.docs,
+                                carry_cols=(("hop",)
+                                            if p.max_hops is not None
+                                            else ()))
                 .observe(obs_hits, F.count(F.lit(1)).alias("n")))
         next_cand = extract_links(hits, follow_links=p.follow_links)
         obs_redir = None
@@ -470,7 +500,12 @@ class CrawlEngine:
                              F.lit(0).alias("dom_sib"),
                              F.lit("redirect").alias("src_doc_id"),
                              F.lit(0).alias("offset"),
-                             F.lit(None).cast("long").alias("event_ms"))
+                             F.lit(None).cast("long").alias("event_ms"),
+                             # a followed redirect is one hop (Heritrix
+                             # counts the R-hop toward max-hops)
+                             *([(F.col("hop") + F.lit(1)).cast("int")
+                                .alias("hop")]
+                               if p.max_hops is not None else []))
                      .observe(obs_redir, F.count(F.lit(1)).alias("n")))
             next_cand = next_cand.select(*redir.columns).unionByName(redir)
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
