@@ -338,6 +338,19 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         m["new_domains"] = n_dom
 
         # 4. per-host politeness budget over the WHOLE frontier, total order
+        # 4a. adaptive politeness (mirrors CrawlEngine.run_round): previous
+        # round's integer mean latency per host → delay floor; the same
+        # `div` integer arithmetic and the same single IEEE max/division
+        ad_ms: dict[str, int] = {}
+        if params.adaptive_delay_factor_pm is not None and r >= 1:
+            lat: dict[str, tuple[int, int]] = {}
+            for c in res.scheduled[r - 1]:
+                l = K.md5_key_one(c["url"]) % 500 + 10
+                s, n = lat.get(c["host_key"], (0, 0))
+                lat[c["host_key"]] = (s + l, n + 1)
+            ad_ms = {h: (s // n) * params.adaptive_delay_factor_pm // 1000
+                     for h, (s, n) in lat.items()}
+            m["adaptive_hosts"] = len(ad_ms)
         by_host: dict[str, list[dict]] = {}
         for c in res.frontier.values():
             by_host.setdefault(c["host_key"], []).append(c)
@@ -345,6 +358,8 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         for hk, recs in by_host.items():
             rb = robots.get(hk)
             delay = rb["crawl_delay"] if rb else params.default_crawl_delay
+            if ad_ms:
+                delay = max(delay, ad_ms.get(hk, 0) / 1000.0)
             budget = max(0, math.floor(params.round_seconds / delay))
             recs.sort(key=order_key)
             for idx, c in enumerate(recs[:budget]):

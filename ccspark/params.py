@@ -76,6 +76,18 @@ class CrawlParams:
     #: unchanged. Per-crawl constant: never toggle on an existing state
     #: dir (the column would be absent from earlier snapshots).
     max_hops: int | None = None
+    #: adaptive per-host politeness (production-crawler delay
+    #: auto-tuning): when set, round r ≥ 1 computes each host's mean
+    #: observed fetch latency over round r-1's scheduled rows (integer
+    #: floor mean, ms) and raises that host's effective crawl delay to
+    #: max(robots/default delay, mean_ms × factor_pm ∕ 1000 ms) — slow
+    #: hosts get crawled more gently, fast hosts stay at the robots
+    #: floor. factor_pm is per-mille (2000 = delay ≥ 2× mean latency).
+    #: Arithmetic is integer up to one final IEEE division/compare, so
+    #: budgets and fetch offsets stay bit-equal cross-engine. The
+    #: host-delay table is a hosts-sized aggregate joined into the
+    #: budget — same shape as the robots join. None = off (default).
+    adaptive_delay_factor_pm: int | None = None
     #: robots-cache staleness (U12): entries older than robots_max_age_ms at
     #: crawl_as_of_ms are treated as absent (no disallow, default crawl
     #: delay). Both must be set to enable; as-of is an explicit parameter —

@@ -93,22 +93,47 @@ def robots_admission_filter(candidates: DataFrame, robots: DataFrame) -> DataFra
             .filter(~F.col("_blocked")).drop("_blocked"))
 
 
-def with_budget(df: DataFrame, robots: DataFrame, params: CrawlParams) -> DataFrame:
-    """Attach the per-host budget column from the robots cache."""
-    rb = robots.select(F.col("host").alias("host_key"),
-                       F.col("crawl_delay").alias("_delay"))
+def _effective_delay(params: CrawlParams, host_delays: DataFrame | None):
+    """Per-host delay (seconds) after the left joins of robots `_delay`
+    and, when adaptive politeness is on, the previous round's `_ad_ms`
+    integer mean-latency-derived floor: max(robots-or-default, ad_ms/1e3).
+    One integer→double division + one double max — bit-equal cross-engine."""
     delay = F.coalesce(F.col("_delay"), F.lit(params.default_crawl_delay))
-    return (df.join(rb, "host_key", "left")
+    if host_delays is not None:
+        delay = F.greatest(
+            delay, F.coalesce(F.col("_ad_ms") / F.lit(1000.0), F.lit(0.0)))
+    return delay
+
+
+def _join_delays(df: DataFrame, robots: DataFrame,
+                 host_delays: DataFrame | None) -> DataFrame:
+    out = df.join(robots.select(F.col("host").alias("host_key"),
+                                F.col("crawl_delay").alias("_delay")),
+                  "host_key", "left")
+    if host_delays is not None:
+        out = out.join(host_delays.select("host_key", F.col("adaptive_ms")
+                                          .alias("_ad_ms")),
+                       "host_key", "left")
+    return out
+
+
+def with_budget(df: DataFrame, robots: DataFrame, params: CrawlParams,
+                host_delays: DataFrame | None = None) -> DataFrame:
+    """Attach the per-host budget column from the robots cache (and the
+    adaptive host-delay table when politeness auto-tuning is on)."""
+    delay = _effective_delay(params, host_delays)
+    return (_join_delays(df, robots, host_delays)
             .withColumn("budget",
                         F.floor(F.lit(params.round_seconds) / delay).cast("int"))
-            .drop("_delay"))
+            .drop("_delay", "_ad_ms"))
 
 
 def schedule_frontier(frontier: DataFrame, robots: DataFrame,
-                      params: CrawlParams) -> DataFrame:
+                      params: CrawlParams,
+                      host_delays: DataFrame | None = None) -> DataFrame:
     """Exact per-host top-budget selection under the total order, salted
     for hot hosts. Returns the scheduled rows (budget column dropped)."""
-    fb = with_budget(frontier, robots, params)
+    fb = with_budget(frontier, robots, params, host_delays)
     salt = F.pmod(F.xxhash64("url"), F.lit(params.num_salts)).cast("int")
     fb = fb.withColumn("salt", salt)
     w_salt = Window.partitionBy("host_key", "salt").orderBy(*order_cols())
@@ -128,18 +153,18 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
 
 
 def with_fetch_offsets(sched: DataFrame, robots: DataFrame,
-                       params: CrawlParams) -> DataFrame:
+                       params: CrawlParams,
+                       host_delays: DataFrame | None = None) -> DataFrame:
     """Assign each scheduled URL its in-round fetch start offset:
-    rank-within-host × crawl_delay(host) — the explicit, per-host form of
-    the reference's inter-fetch interval stamping
+    rank-within-host × effective delay(host) — the explicit, per-host form
+    of the reference's inter-fetch interval stamping
     (ProcessingService.java:235-240 lastDownLoadCall). Deterministic:
-    rank follows the frontier total order."""
-    rb = robots.select(F.col("host").alias("host_key"),
-                       F.col("crawl_delay").alias("_delay"))
-    delay = F.coalesce(F.col("_delay"), F.lit(params.default_crawl_delay))
+    rank follows the frontier total order; the delay is the same
+    effective (robots ∨ adaptive) value the budget used."""
+    delay = _effective_delay(params, host_delays)
     w = Window.partitionBy("host_key").orderBy(*order_cols())
-    return (sched.join(rb, "host_key", "left")
+    return (_join_delays(sched, robots, host_delays)
             .withColumn("fetch_offset_ms",
                         ((F.row_number().over(w) - 1) * delay * 1000)
                         .cast("long"))
-            .drop("_delay"))
+            .drop("_delay", "_ad_ms"))

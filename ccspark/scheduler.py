@@ -438,12 +438,34 @@ class CrawlEngine:
         frontier = (live.unionByName(new_frontier)
                     if live is not None else new_frontier).cache()
 
+        # adaptive politeness: previous round's per-host integer mean
+        # latency → delay floor (hosts-sized aggregate, joined into the
+        # budget exactly like the robots cache; observed on the same
+        # scheduling job — no standalone metric job). Oracle mirror in
+        # ccspark.oracle (exact budgets/offsets/ordering parity tested).
+        host_delays = None
+        if (p.adaptive_delay_factor_pm is not None and r >= 1
+                and self.scheduled_tbl.exists()):
+            # cached: the hosts-sized table feeds BOTH the budget join
+            # and the offsets join (an Observation would double-count
+            # across the two subtrees — cache + count instead, which
+            # also computes the aggregate once)
+            host_delays = (self.scheduled_tbl.read_chain()
+                           .filter(F.col("fetch_round") == r - 1)
+                           .groupBy("host_key")
+                           .agg(F.expr(
+                               f"(sum(latency_ms) div count(1))"
+                               f" * {p.adaptive_delay_factor_pm} div 1000")
+                               .alias("adaptive_ms"))
+                           .cache())
+
         # scheduled count observed on the fetched-table commit
         obs_sched = Observation()
-        sched = (schedule_frontier(frontier, self.robots, p)
+        sched = (schedule_frontier(frontier, self.robots, p, host_delays)
                  .observe(obs_sched, F.count(F.lit(1)).alias("n"))
                  .cache())
-        fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p),
+        fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p,
+                                                     host_delays),
                                   redirects=p.follow_redirects,
                                   revisit_changed_pct=(
                                       p.revisit_changed_pct
@@ -459,6 +481,8 @@ class CrawlEngine:
                     F.lit(0)).alias("n"))
         versions["scheduled"] = self.scheduled_tbl.commit(fetched, r)
         m["scheduled"] = _observed_count(obs_sched, sched)
+        if host_delays is not None:
+            m["adaptive_hosts"] = host_delays.count()
         if obs_nm is not None:
             m["not_modified"] = int(_observed_count(
                 obs_nm, self.scheduled_tbl.read(versions["scheduled"])
@@ -554,6 +578,7 @@ class CrawlEngine:
         for df in ((new, frontier, sched)
                    + ((stale,) if stale is not None else ())
                    + ((fresh,) if fresh is not None else ())
+                   + ((host_delays,) if host_delays is not None else ())
                    + ((cached_adm,) if cached_adm is not None else ())):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
