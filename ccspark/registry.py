@@ -16,8 +16,8 @@ import tempfile
 from pyspark.sql import functions as F
 
 from . import (analytics, cdx, content, dedup, htmlspans, incremental,
-               multimodal, recrawl, scrub, similarity, sitemap, textops,
-               vlad, warc, webgraph)
+               multimodal, recrawl, scrub, sharding, similarity, sitemap,
+               textops, vlad, warc, webgraph)
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -154,7 +154,7 @@ CRAWL_REG = {
 _MERGED: dict[str, tuple] = {}
 for mod in (analytics, cdx, content, dedup, incremental, similarity, textops,
             multimodal, warc,
-            htmlspans, vlad, scrub, webgraph, recrawl, sitemap):
+            htmlspans, vlad, scrub, webgraph, recrawl, sitemap, sharding):
     overlap = _MERGED.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
     _MERGED.update(mod.REG)
