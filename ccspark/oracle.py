@@ -351,15 +351,32 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             ad_ms = {h: (s // n) * params.adaptive_delay_factor_pm // 1000
                      for h, (s, n) in lat.items()}
             m["adaptive_hosts"] = len(ad_ms)
-        by_host: dict[str, list[dict]] = {}
-        for c in res.frontier.values():
-            by_host.setdefault(c["host_key"], []).append(c)
-        scheduled = []
-        for hk, recs in by_host.items():
+        def _host_delay(hk: str) -> float:
             rb = robots.get(hk)
-            delay = rb["crawl_delay"] if rb else params.default_crawl_delay
+            d = rb["crawl_delay"] if rb else params.default_crawl_delay
             if ad_ms:
-                delay = max(delay, ad_ms.get(hk, 0) / 1000.0)
+                d = max(d, ad_ms.get(hk, 0) / 1000.0)
+            return d
+
+        # politeness unit: host (default) or deterministic address group
+        # (params.politeness_ip_groups — mirrors politeness.ip_group_col:
+        # md5('ip:'+host_key) first-15-hex mod n). The group delay is the
+        # MAX of member-host delays over hosts present in the frontier
+        # (mirrors politeness.ip_group_delays).
+        by_unit: dict = {}
+        for c in res.frontier.values():
+            if params.politeness_ip_groups is not None:
+                unit = K.md5_key_one("ip:" + c["host_key"]) \
+                    % params.politeness_ip_groups
+            else:
+                unit = c["host_key"]
+            by_unit.setdefault(unit, []).append(c)
+        if params.politeness_ip_groups is not None:
+            m["ip_groups"] = len(by_unit)
+        scheduled = []
+        for unit, recs in by_unit.items():
+            delay = max(_host_delay(hk) for hk in {c["host_key"]
+                                                   for c in recs})
             budget = max(0, math.floor(params.round_seconds / delay))
             recs.sort(key=order_key)
             for idx, c in enumerate(recs[:budget]):

@@ -123,6 +123,23 @@ class CrawlParams:
     #: deterministically (seed wins the lineage tie). False = off (the
     #: reference-parity seeding the north_rule compares).
     sitemap_seeding: bool = False
+    #: per-IP politeness grouping (Heritrix "assignment by IP" / BUbiNG
+    #: agent mapping): when set, the politeness unit is the RESOLVED
+    #: ADDRESS GROUP instead of the hostname — budgets, top-K selection
+    #: and fetch offsets are keyed by the group, so virtual hosts that
+    #: share a server share one crawl-rate budget instead of multiplying
+    #: it. The group's effective delay is the MAX of its member hosts'
+    #: effective (robots ∨ adaptive) delays over the hosts present in
+    #: the current frontier — the conservative choice: the shared server
+    #: is fetched at its slowest member's cadence. The sandbox has no
+    #: DNS, so resolution is a deterministic stand-in: group =
+    #: md5('ip:' + host_key) mod politeness_ip_groups (the same
+    #: cross-engine md5 derivation fetchsim uses); a deployment swaps in
+    #: the resolver's output column — every downstream op keys on the
+    #: group id, not on how it was produced. Metric `ip_groups` = groups
+    #: holding frontier rows. None = per-host politeness (default —
+    #: reference-parity budgets unchanged).
+    politeness_ip_groups: int | None = None
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

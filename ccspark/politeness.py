@@ -128,22 +128,65 @@ def with_budget(df: DataFrame, robots: DataFrame, params: CrawlParams,
             .drop("_delay", "_ad_ms"))
 
 
+def ip_group_col(n_groups: int):
+    """Deterministic host → address-group id (per-IP politeness): the
+    sandbox DNS stand-in, md5('ip:' + host_key) first 15 hex digits mod
+    n_groups — the same cross-engine md5-band derivation fetchsim uses
+    (kernels.md5_key_one). A deployment replaces this expression with
+    the resolver's output column; everything downstream keys on the id."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ip:"), F.col("host_key"))),
+                           1, 15), 16, 10).cast("long"),
+        F.lit(n_groups)).cast("int")
+
+
+def ip_group_delays(frontier: DataFrame, robots: DataFrame,
+                    params: CrawlParams,
+                    host_delays: DataFrame | None = None) -> DataFrame:
+    """(_gk, _gd): each address group's effective delay = MAX of its
+    member hosts' effective (robots ∨ adaptive) delays over the hosts
+    present in the CURRENT frontier — the shared server is crawled at
+    its slowest member's cadence. Groups-sized output; the max is a
+    map-side-combinable aggregate, so a hot group (many vhosts on one
+    address) is absorbed in partial aggregation, not a single task."""
+    return (_join_delays(frontier, robots, host_delays)
+            .withColumn("_gk", ip_group_col(params.politeness_ip_groups))
+            .groupBy("_gk")
+            .agg(F.max(_effective_delay(params, host_delays)).alias("_gd")))
+
+
 def schedule_frontier(frontier: DataFrame, robots: DataFrame,
                       params: CrawlParams,
-                      host_delays: DataFrame | None = None) -> DataFrame:
-    """Exact per-host top-budget selection under the total order, salted
-    for hot hosts. Returns the scheduled rows (budget column dropped)."""
-    fb = with_budget(frontier, robots, params, host_delays)
+                      host_delays: DataFrame | None = None,
+                      ip_delays: DataFrame | None = None) -> DataFrame:
+    """Exact per-politeness-unit top-budget selection under the total
+    order, salted for hot units. The unit is the host (default) or, when
+    `ip_delays` is given (params.politeness_ip_groups), the address
+    group — same two-phase salted window, different key. Returns the
+    scheduled rows (budget column dropped)."""
+    if ip_delays is not None:
+        key = "_gk"
+        fb = (frontier.withColumn("_gk",
+                                  ip_group_col(params.politeness_ip_groups))
+              .join(ip_delays, "_gk")
+              .withColumn("budget",
+                          F.floor(F.lit(params.round_seconds)
+                                  / F.col("_gd")).cast("int"))
+              .drop("_gd"))
+    else:
+        key = "host_key"
+        fb = with_budget(frontier, robots, params, host_delays)
     salt = F.pmod(F.xxhash64("url"), F.lit(params.num_salts)).cast("int")
     fb = fb.withColumn("salt", salt)
-    w_salt = Window.partitionBy("host_key", "salt").orderBy(*order_cols())
+    w_salt = Window.partitionBy(key, "salt").orderBy(*order_cols())
     pruned = (fb.withColumn("_srn", F.row_number().over(w_salt))
               .filter(F.col("_srn") <= F.col("budget"))
               .drop("_srn", "salt"))
-    w_host = Window.partitionBy("host_key").orderBy(*order_cols())
+    w_host = Window.partitionBy(key).orderBy(*order_cols())
     sched = (pruned.withColumn("_rn", F.row_number().over(w_host))
              .filter(F.col("_rn") <= F.col("budget"))
-             .drop("_rn", "budget"))
+             .drop("_rn", "budget")
+             .drop("_gk"))
     if params.max_scheduled_per_round is not None:
         # U9 backpressure: global top-K in total order. TakeOrderedAndProject
         # keeps this a per-partition top-K + single merge, not a full sort.
@@ -154,13 +197,25 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
 
 def with_fetch_offsets(sched: DataFrame, robots: DataFrame,
                        params: CrawlParams,
-                       host_delays: DataFrame | None = None) -> DataFrame:
+                       host_delays: DataFrame | None = None,
+                       ip_delays: DataFrame | None = None) -> DataFrame:
     """Assign each scheduled URL its in-round fetch start offset:
-    rank-within-host × effective delay(host) — the explicit, per-host form
-    of the reference's inter-fetch interval stamping
-    (ProcessingService.java:235-240 lastDownLoadCall). Deterministic:
-    rank follows the frontier total order; the delay is the same
-    effective (robots ∨ adaptive) value the budget used."""
+    rank-within-unit × effective delay(unit) — the explicit, per-host
+    (or per-address-group) form of the reference's inter-fetch interval
+    stamping (ProcessingService.java:235-240 lastDownLoadCall).
+    Deterministic: rank follows the frontier total order; the delay is
+    the same effective value the budget used — for IP grouping that is
+    the FRONTIER-derived group max, passed in, not recomputed over the
+    scheduled subset (the slowest member may not have been scheduled)."""
+    if ip_delays is not None:
+        w = Window.partitionBy("_gk").orderBy(*order_cols())
+        return (sched.withColumn("_gk",
+                                 ip_group_col(params.politeness_ip_groups))
+                .join(ip_delays, "_gk")
+                .withColumn("fetch_offset_ms",
+                            ((F.row_number().over(w) - 1)
+                             * F.col("_gd") * 1000).cast("long"))
+                .drop("_gk", "_gd"))
     delay = _effective_delay(params, host_delays)
     w = Window.partitionBy("host_key").orderBy(*order_cols())
     return (_join_delays(sched, robots, host_delays)

@@ -27,7 +27,8 @@ from .extract import extract_links
 from .fetchsim import discovered_docs, with_fetch_sim
 from .params import CrawlParams
 from .politeness import (order_cols, robots_admission_filter,
-                         schedule_frontier, with_fetch_offsets)
+                         ip_group_delays, schedule_frontier,
+                         with_fetch_offsets)
 from .seen import SeenSet, with_bucket
 from .tables import SnapshotStore
 from .udfs import canon_udf, host_udf, normalize_udf, priority_udf, surt_udf
@@ -459,13 +460,24 @@ class CrawlEngine:
                                .alias("adaptive_ms"))
                            .cache())
 
+        # per-IP politeness: the address-group delay table (groups-sized
+        # max aggregate over the frontier, cached — it feeds BOTH the
+        # budget join and the offsets join, and its count is the
+        # ip_groups metric). Oracle mirror in ccspark.oracle.
+        ip_delays = None
+        if p.politeness_ip_groups is not None:
+            ip_delays = ip_group_delays(frontier, self.robots, p,
+                                        host_delays).cache()
+            m["ip_groups"] = ip_delays.count()
+
         # scheduled count observed on the fetched-table commit
         obs_sched = Observation()
-        sched = (schedule_frontier(frontier, self.robots, p, host_delays)
+        sched = (schedule_frontier(frontier, self.robots, p, host_delays,
+                                   ip_delays)
                  .observe(obs_sched, F.count(F.lit(1)).alias("n"))
                  .cache())
         fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p,
-                                                     host_delays),
+                                                     host_delays, ip_delays),
                                   redirects=p.follow_redirects,
                                   revisit_changed_pct=(
                                       p.revisit_changed_pct
@@ -579,6 +591,7 @@ class CrawlEngine:
                    + ((stale,) if stale is not None else ())
                    + ((fresh,) if fresh is not None else ())
                    + ((host_delays,) if host_delays is not None else ())
+                   + ((ip_delays,) if ip_delays is not None else ())
                    + ((cached_adm,) if cached_adm is not None else ())):
             df.unpersist()
         return self.candidates_tbl.read(versions["candidates"])
