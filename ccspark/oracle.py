@@ -373,20 +373,35 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             by_unit.setdefault(unit, []).append(c)
         if params.politeness_ip_groups is not None:
             m["ip_groups"] = len(by_unit)
+        # priority aging (mirrors scheduler.run_round's _eff column): the
+        # SCHEDULING key uses priority + rounds-waited × boost — same int
+        # subtract + double multiply-add, same IEEE op order. Recorded
+        # rows keep the un-aged priority (the engine never persists _eff).
+        if params.age_boost_pm is not None:
+            _f = params.age_boost_pm / 1000.0
+
+            def sched_key(c):
+                return (-(c["priority"] + (r - c["depth"]) * _f),
+                        c["depth"], c["surt"], c["url"])
+        else:
+            sched_key = order_key
         scheduled = []
         for unit, recs in by_unit.items():
             delay = max(_host_delay(hk) for hk in {c["host_key"]
                                                    for c in recs})
             budget = max(0, math.floor(params.round_seconds / delay))
-            recs.sort(key=order_key)
+            recs.sort(key=sched_key)
             for idx, c in enumerate(recs[:budget]):
                 # same op order as the engine: (rank-1)*delay then *1000
                 c["fetch_offset_ms"] = int(idx * delay * 1000)
             scheduled.extend(recs[:budget])
-        scheduled.sort(key=order_key)
+        scheduled.sort(key=sched_key)
         if params.max_scheduled_per_round is not None:
-            # U9 backpressure: global top-K in total order
+            # U9 backpressure: global top-K in (aged) total order
             scheduled = scheduled[:params.max_scheduled_per_round]
+        # recorded order = the persisted total order (scheduled_rounds
+        # reads back by the UN-aged priority column)
+        scheduled.sort(key=order_key)
         for c in scheduled:
             del res.frontier[c["url"]]
             c["fetch_round"] = r

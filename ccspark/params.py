@@ -140,6 +140,21 @@ class CrawlParams:
     #: holding frontier rows. None = per-host politeness (default —
     #: reference-parity budgets unchanged).
     politeness_ip_groups: int | None = None
+    #: frontier priority aging (starvation control): when set, the
+    #: SCHEDULING order — selection windows, fetch-offset ranks, and the
+    #: global backpressure cut — uses the aged priority
+    #: priority + (round − depth) × age_boost_pm ∕ 1000 (depth is the
+    #: admission round, so the boost is rounds-waited × per-mille
+    #: weight). Without it, a hot host's budget can starve its
+    #: low-priority URLs FOREVER (every round mints fresh higher-priority
+    #: candidates); with it, every frontier row's effective priority
+    #: grows linearly until scheduled — bounded wait. The persisted
+    #: priority column is UNCHANGED (aging is an ordering view, not a
+    #: mutation), so recorded tables stay lineage-stable and the boost
+    #: never compounds across resumes. One int subtract + one
+    #: double multiply-add per row, bit-equal cross-engine. None = off
+    #: (default — reference-parity ordering unchanged).
+    age_boost_pm: int | None = None
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

@@ -23,9 +23,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .params import CrawlParams
 
-#: frontier total order (U13) as Spark sort columns
-def order_cols():
-    return [F.col("priority").desc(), F.col("depth").asc(),
+#: frontier total order (U13) as Spark sort columns; pri_col swaps in
+#: the aged effective priority ("_eff") when priority aging is on —
+#: (pri, depth, surt, url) stays total because url is unique per row
+def order_cols(pri_col: str = "priority"):
+    return [F.col(pri_col).desc(), F.col("depth").asc(),
             F.col("surt").asc(), F.col("url").asc()]
 
 
@@ -158,7 +160,8 @@ def ip_group_delays(frontier: DataFrame, robots: DataFrame,
 def schedule_frontier(frontier: DataFrame, robots: DataFrame,
                       params: CrawlParams,
                       host_delays: DataFrame | None = None,
-                      ip_delays: DataFrame | None = None) -> DataFrame:
+                      ip_delays: DataFrame | None = None,
+                      pri_col: str = "priority") -> DataFrame:
     """Exact per-politeness-unit top-budget selection under the total
     order, salted for hot units. The unit is the host (default) or, when
     `ip_delays` is given (params.politeness_ip_groups), the address
@@ -178,11 +181,11 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
         fb = with_budget(frontier, robots, params, host_delays)
     salt = F.pmod(F.xxhash64("url"), F.lit(params.num_salts)).cast("int")
     fb = fb.withColumn("salt", salt)
-    w_salt = Window.partitionBy(key, "salt").orderBy(*order_cols())
+    w_salt = Window.partitionBy(key, "salt").orderBy(*order_cols(pri_col))
     pruned = (fb.withColumn("_srn", F.row_number().over(w_salt))
               .filter(F.col("_srn") <= F.col("budget"))
               .drop("_srn", "salt"))
-    w_host = Window.partitionBy(key).orderBy(*order_cols())
+    w_host = Window.partitionBy(key).orderBy(*order_cols(pri_col))
     sched = (pruned.withColumn("_rn", F.row_number().over(w_host))
              .filter(F.col("_rn") <= F.col("budget"))
              .drop("_rn", "budget")
@@ -190,7 +193,7 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
     if params.max_scheduled_per_round is not None:
         # U9 backpressure: global top-K in total order. TakeOrderedAndProject
         # keeps this a per-partition top-K + single merge, not a full sort.
-        sched = (sched.orderBy(*order_cols())
+        sched = (sched.orderBy(*order_cols(pri_col))
                  .limit(params.max_scheduled_per_round))
     return sched
 
@@ -198,7 +201,8 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
 def with_fetch_offsets(sched: DataFrame, robots: DataFrame,
                        params: CrawlParams,
                        host_delays: DataFrame | None = None,
-                       ip_delays: DataFrame | None = None) -> DataFrame:
+                       ip_delays: DataFrame | None = None,
+                       pri_col: str = "priority") -> DataFrame:
     """Assign each scheduled URL its in-round fetch start offset:
     rank-within-unit × effective delay(unit) — the explicit, per-host
     (or per-address-group) form of the reference's inter-fetch interval
@@ -208,7 +212,7 @@ def with_fetch_offsets(sched: DataFrame, robots: DataFrame,
     the FRONTIER-derived group max, passed in, not recomputed over the
     scheduled subset (the slowest member may not have been scheduled)."""
     if ip_delays is not None:
-        w = Window.partitionBy("_gk").orderBy(*order_cols())
+        w = Window.partitionBy("_gk").orderBy(*order_cols(pri_col))
         return (sched.withColumn("_gk",
                                  ip_group_col(params.politeness_ip_groups))
                 .join(ip_delays, "_gk")
@@ -217,7 +221,7 @@ def with_fetch_offsets(sched: DataFrame, robots: DataFrame,
                              * F.col("_gd") * 1000).cast("long"))
                 .drop("_gk", "_gd"))
     delay = _effective_delay(params, host_delays)
-    w = Window.partitionBy("host_key").orderBy(*order_cols())
+    w = Window.partitionBy("host_key").orderBy(*order_cols(pri_col))
     return (_join_delays(sched, robots, host_delays)
             .withColumn("fetch_offset_ms",
                         ((F.row_number().over(w) - 1) * delay * 1000)

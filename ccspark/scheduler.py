@@ -460,6 +460,20 @@ class CrawlEngine:
                                .alias("adaptive_ms"))
                            .cache())
 
+        # priority aging (starvation control): the SCHEDULING order uses
+        # priority + rounds-waited × boost; the persisted priority column
+        # is untouched (aging is an ordering view — recorded tables stay
+        # lineage-stable and the boost never compounds across resumes).
+        # Oracle mirror in ccspark.oracle (same int subtract + double
+        # multiply-add, same IEEE op order).
+        pri_col = "priority"
+        sched_in = frontier  # `frontier` stays bound to the cached union
+        if p.age_boost_pm is not None:
+            sched_in = frontier.withColumn(
+                "_eff", F.col("priority")
+                + (F.lit(r) - F.col("depth")) * F.lit(p.age_boost_pm / 1000.0))
+            pri_col = "_eff"
+
         # per-IP politeness: the address-group delay table (groups-sized
         # max aggregate over the frontier, cached — it feeds BOTH the
         # budget join and the offsets join, and its count is the
@@ -472,12 +486,13 @@ class CrawlEngine:
 
         # scheduled count observed on the fetched-table commit
         obs_sched = Observation()
-        sched = (schedule_frontier(frontier, self.robots, p, host_delays,
-                                   ip_delays)
+        sched = (schedule_frontier(sched_in, self.robots, p, host_delays,
+                                   ip_delays, pri_col)
                  .observe(obs_sched, F.count(F.lit(1)).alias("n"))
                  .cache())
         fetched = (with_fetch_sim(with_fetch_offsets(sched, self.robots, p,
-                                                     host_delays, ip_delays),
+                                                     host_delays, ip_delays,
+                                                     pri_col).drop("_eff"),
                                   redirects=p.follow_redirects,
                                   revisit_changed_pct=(
                                       p.revisit_changed_pct
