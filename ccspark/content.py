@@ -311,7 +311,84 @@ SQL_INVERTED_INDEX = (
     " FROM per_doc GROUP BY term")
 
 
+# ---------------------------------------------------------------------------
+# registered-domain extraction (public-suffix rule)
+# ---------------------------------------------------------------------------
+# Crawl policy units (politeness defaults, per-site budgets, seen-set
+# rollups, same-site link classification — U4/U6's natural coarsening)
+# key on the REGISTERED domain, not the hostname: sub.a.co.uk and
+# b.a.co.uk are one site, but a.co.uk and b.co.uk are not — a plain
+# "last two labels" rule breaks on multi-label public suffixes. This is
+# the publicsuffix.org algorithm over a checked-in suffix subset (the
+# full list is data, not logic — a deployment swaps in the complete
+# file): if the last TWO labels form a public suffix, the registered
+# domain is the last THREE labels; otherwise the last two.
+#
+# Pure string expressions (split/slice/concat_ws/array_contains) —
+# whole-stage codegen, zero shuffle; the fixture synthesizes hosts over
+# orders mixing plain TLDs, PSL suffixes, and 0-2 subdomain labels so
+# every branch carries rows.
+
+_PSL2 = ["co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+         "co.jp", "ne.jp", "com.br", "com.cn", "co.in", "co.za"]
+
+_RD_SUFFIXES = ["com", "org", "net", "io", "co.uk", "gov.uk", "com.au",
+                "co.jp"]
+
+
+def q_url_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    sub = (F.when(F.col("o_orderkey") % 3 == 0, "www.")
+            .when(F.col("o_orderkey") % 3 == 1, "cdn.media.")
+            .otherwise(""))
+    suffix = F.lit(None).cast("string")
+    for k, sfx in reversed(list(enumerate(_RD_SUFFIXES))):
+        suffix = (F.when(F.col("o_orderkey") % 8 == k, F.lit(sfx))
+                  .otherwise(suffix))
+    host = F.concat(sub, F.lit("shop"),
+                    (F.col("o_orderkey") % 50).cast("string"),
+                    F.lit("."), suffix)
+    d = o.select(host.alias("host")).groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+    labels = F.split("host", r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    psl = F.array(*[F.lit(s) for s in _PSL2])
+    regd = (F.when((n >= 3) & F.array_contains(psl, last2), last3)
+            .when(n >= 2, last2)
+            .otherwise(F.col("host")))
+    return d.select("host", regd.alias("registered_domain"), "n_urls")
+
+
+SQL_URL_REGISTERED_DOMAIN = (
+    "WITH h AS ("
+    " SELECT (CASE o_orderkey % 3 WHEN 0 THEN 'www.'"
+    "         WHEN 1 THEN 'cdn.media.' ELSE '' END)"
+    "  || 'shop' || CAST(o_orderkey % 50 AS VARCHAR) || '.'"
+    "  || (CASE o_orderkey % 8"
+    + "".join(f" WHEN {k} THEN '{sfx}'"
+              for k, sfx in enumerate(_RD_SUFFIXES)) +
+    "      END) AS host"
+    " FROM orders),"
+    " g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls"
+    "       FROM h GROUP BY host),"
+    " l AS (SELECT host, n_urls, string_split(host, '.') AS ls,"
+    "              len(string_split(host, '.')) AS n FROM g)"
+    " SELECT host,"
+    "  CASE WHEN n >= 3 AND list_contains(["
+    + ", ".join(f"'{s}'" for s in _PSL2) +
+    "   ], array_to_string(ls[n-1:n], '.'))"
+    "       THEN array_to_string(ls[n-2:n], '.')"
+    "       WHEN n >= 2 THEN array_to_string(ls[n-1:n], '.')"
+    "       ELSE host END AS registered_domain,"
+    "  n_urls"
+    " FROM l")
+
+
 REG: dict[str, tuple] = {
+    "url_registered_domain": (q_url_registered_domain,
+                              SQL_URL_REGISTERED_DOMAIN),
     "boilerplate_spans": (q_boilerplate_spans, SQL_BOILERPLATE_SPANS),
     "boilerplate_corpus": (q_boilerplate_corpus, SQL_BOILERPLATE_CORPUS),
     "url_strip_tracking": (q_url_strip_tracking, SQL_URL_STRIP_TRACKING),

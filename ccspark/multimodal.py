@@ -280,7 +280,95 @@ SQL_MEDIA_FRAME_SAMPLE = (
     " FROM (" + SQL_MEDIA_DECODE + ") WHERE n_frames > 0")
 
 
+# --------------------------------------------------------------------------
+# magic-byte MIME sniffing
+# --------------------------------------------------------------------------
+# A crawler cannot trust Content-Type headers (F4 filters on what the
+# SERVER claims; misconfigured servers label PNGs text/html and WARC
+# payloads carry no header at all) — production pipelines re-derive the
+# type from the payload's leading bytes, exactly like `file(1)` /
+# Apache Tika's magic pass. Signatures (all public, from the format
+# specs): PNG 89504E47, JPEG FFD8FF, GIF 47494638, RIFF….WAVE,
+# %PDF 25504446, gzip 1F8B, else application/octet-stream.
+#
+# The fixture synthesizes one payload per document — a real signature
+# prefix chosen by doc_id mod 7 followed by deterministic filler — and
+# the sniffer reads ONLY the payload bytes (never the synthesis key), so
+# a wrong signature table or offset breaks the oracle hash. Everything
+# is JVM expressions on BINARY (unhex/substring/hex): zero shuffle,
+# whole-stage codegen — at 100 TB this runs inside the ingest scan at
+# wire speed, which is why it must not be a UDF.
+
+_MIME_SIGS = [  # (synth kind id, prefix hex, sniffed mime)
+    (0, "89504E470D0A1A0A", "image/png"),
+    (1, "FFD8FFE000104A46", "image/jpeg"),
+    (2, "4749463839614141", "image/gif"),
+    (3, "524946465858585857415645", "audio/x-wav"),  # RIFFxxxxWAVE
+    (4, "255044462D312E37", "application/pdf"),
+    (5, "1F8B080000000000", "application/gzip"),
+    (6, "48656C6C6F20776F", "application/octet-stream"),  # plain text
+]
+
+
+def q_media_mime_sniff(spark, sf_dir):
+    """Payload-derived MIME per document: synthesize payload =
+    signature-prefix(doc_id mod 7) || 'body', sniff the type back from
+    the BYTES with the magic table, and emit (doc_id, mime, n_bytes).
+    Sniff order matters (longest/most-specific first is unnecessary
+    here because the signatures are disjoint, but RIFF checks bytes 9-12
+    too — the container id alone is not WAV)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    prefix = F.lit(None).cast("string")
+    for k, hx, _ in reversed(_MIME_SIGS):
+        prefix = F.when(F.col("doc_id") % 7 == k, F.lit(hx)).otherwise(prefix)
+    payload = F.concat(F.unhex(prefix),
+                       F.encode(F.concat(F.lit("body"),
+                                         F.col("doc_id").cast("string")),
+                                "UTF-8"))
+    d = d.withColumn("payload", payload)
+    head8 = F.hex(F.expr("substring(payload, 1, 8)"))
+    riff = ((F.hex(F.expr("substring(payload, 1, 4)")) == "52494646")
+            & (F.hex(F.expr("substring(payload, 9, 4)")) == "57415645"))
+    mime = (F.when(head8.startswith("89504E470D0A1A0A"), "image/png")
+            .when(head8.startswith("FFD8FF"), "image/jpeg")
+            .when(head8.startswith("474946383"), "image/gif")
+            .when(riff, "audio/x-wav")
+            .when(head8.startswith("25504446"), "application/pdf")
+            .when(head8.startswith("1F8B"), "application/gzip")
+            .otherwise("application/octet-stream"))
+    return d.select("doc_id", mime.alias("mime"),
+                    F.length("payload").cast("bigint").alias("n_bytes"))
+
+
+SQL_MEDIA_MIME_SNIFF = (
+    "WITH p AS (SELECT doc_id,"
+    "  CASE doc_id % 7"
+    + "".join(f" WHEN {k} THEN '{hx}'" for k, hx, _ in _MIME_SIGS) +
+    "  END AS hx FROM documents),"
+    " b AS (SELECT doc_id,"
+    "   unhex(hx) || encode('body' || CAST(doc_id AS VARCHAR)) AS payload"
+    "  FROM p),"
+    # DuckDB has no BLOB substring — slice the hex transcript instead
+    # (byte k..k+n ≡ hex chars 2k-1..2(k+n)); identical to Spark's
+    # hex(substring(payload, ...)) comparisons
+    " hx AS (SELECT doc_id, payload, hex(payload) AS h FROM b)"
+    " SELECT doc_id,"
+    "  CASE"
+    "   WHEN substring(h, 1, 16) LIKE '89504E470D0A1A0A%'"
+    "        THEN 'image/png'"
+    "   WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg'"
+    "   WHEN substring(h, 1, 9) = '474946383' THEN 'image/gif'"
+    "   WHEN substring(h, 1, 8) = '52494646'"
+    "    AND substring(h, 17, 8) = '57415645' THEN 'audio/x-wav'"
+    "   WHEN substring(h, 1, 8) = '25504446' THEN 'application/pdf'"
+    "   WHEN substring(h, 1, 4) = '1F8B' THEN 'application/gzip'"
+    "   ELSE 'application/octet-stream' END AS mime,"
+    "  CAST(octet_length(payload) AS BIGINT) AS n_bytes"
+    " FROM hx")
+
+
 REG: dict[str, tuple] = {
+    "media_mime_sniff": (q_media_mime_sniff, SQL_MEDIA_MIME_SNIFF),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_png_decode": (q_media_png_decode, SQL_MEDIA_PNG_DECODE),
