@@ -667,6 +667,50 @@ class CrawlEngine:
 
     # -- inspection -------------------------------------------------------------
 
+    def export_frontier_ranged(self, path: str, n_files: int = 16) -> dict:
+        """Materialize the live frontier as a RANGE-PARTITIONED priority
+        queue (north_rule: 'priority queue realized as salted,
+        range-partitioned frontier tables'): file k holds a contiguous
+        slice of the total order, globally above every row of file k+1,
+        and rows are sorted within each file — so a fetcher fleet drains
+        highest-priority work by reading files in index order, no global
+        sort at read time, and a partial drain (first j files) is exactly
+        the global top slice. `repartitionByRange` samples split bounds
+        (reservoir per partition) — bounds land where the data is, so a
+        skew-free ~equal-rows split even when priorities cluster; the
+        within-file sort is a local no-shuffle pass.
+
+        Returns a manifest {file → rows, pri_max, pri_min} (written as
+        <path>.manifest.json BESIDE the parquet directory — inside it,
+        Spark's directory reader would trip on the non-parquet file) —
+        the per-partition lineage a reader uses for range pruning
+        without opening files."""
+        import json
+        import os
+
+        live = self.live_frontier()
+        if live is None:
+            return {}
+        order = [F.col("priority").desc(), F.col("depth").asc(),
+                 F.col("surt").asc(), F.col("url").asc()]
+        (live.repartitionByRange(n_files, *order)
+             .sortWithinPartitions(*order)
+             .write.mode("overwrite").parquet(path))
+        files = (self.spark.read.parquet(path)
+                 .withColumn("_f", F.element_at(
+                     F.split(F.input_file_name(), "/"), -1))
+                 .groupBy("_f")
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.max("priority").alias("pri_max"),
+                      F.min("priority").alias("pri_min"))
+                 .collect())
+        manifest = {r._f: {"rows": r.rows, "pri_max": r.pri_max,
+                           "pri_min": r.pri_min}
+                    for r in sorted(files, key=lambda r: r._f)}
+        with open(path.rstrip("/") + ".manifest.json", "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        return manifest
+
     def scheduled_rounds(self) -> DataFrame:
         """All scheduled rows across committed rounds, in total order."""
         return (self.scheduled_tbl.read_chain()
