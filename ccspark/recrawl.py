@@ -256,7 +256,59 @@ FROM o GROUP BY ROLLUP (tld, host)
 """
 
 
+# ---------------------------------------------------------------------------
+# per-host fetch-latency quantiles (crawl health / adaptive-politeness
+# observability)
+# ---------------------------------------------------------------------------
+# The adaptive-delay policy keys on the MEAN latency; operators watch the
+# TAIL (a host whose p99 blows out while p50 holds is shedding — back off
+# before the mean moves). EXACT linear-interpolation percentiles
+# (Spark `percentile`, DuckDB `quantile_cont` — same (n−1)·p definition,
+# bit-comparable on integer inputs after a 6-dp round), not the t-digest
+# approximation: at 10^10 rows/day a deployment flips the same column
+# list to `percentile_approx` — the aggregation shape (one map-side
+# combinable exchange on host) is identical, which is why the exact form
+# is the one worth pinning cross-engine. Latencies are the fetchsim md5
+# band (% 500 + 10 ms) over synthesized order URLs — the same
+# deterministic latency model the engine's adaptive politeness is
+# oracle-tested against.
+
+
+def q_fetch_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("http://h"), (F.col("o_orderkey") % 20).cast("string"),
+                   F.lit(".example.com/order/"),
+                   F.col("o_orderkey").cast("string"))
+    lat = (F.conv(F.substring(F.md5(url), 1, 15), 16, 10).cast("long")
+           % 500 + 10)
+    d = o.select(F.concat(F.lit("h"), (F.col("o_orderkey") % 20)
+                          .cast("string")).alias("host"),
+                 lat.alias("lat"))
+    return (d.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+                 F.round(F.expr("percentile(lat, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(lat, 0.95)"), 6).alias("p95"),
+                 F.round(F.expr("percentile(lat, 0.99)"), 6).alias("p99"),
+                 F.max("lat").cast("bigint").alias("lat_max")))
+
+
+SQL_FETCH_LATENCY_QUANTILES = (
+    "WITH d AS (SELECT 'h' || CAST(o_orderkey % 20 AS VARCHAR) AS host,"
+    "  ('0x' || substr(md5('http://h' || CAST(o_orderkey % 20 AS VARCHAR)"
+    "   || '.example.com/order/' || CAST(o_orderkey AS VARCHAR)),"
+    "   1, 15))::BIGINT % 500 + 10 AS lat"
+    " FROM orders)"
+    " SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,"
+    "  round(quantile_cont(lat, 0.5), 6) AS p50,"
+    "  round(quantile_cont(lat, 0.95), 6) AS p95,"
+    "  round(quantile_cont(lat, 0.99), 6) AS p99,"
+    "  CAST(max(lat) AS BIGINT) AS lat_max"
+    " FROM d GROUP BY host")
+
+
 REG: dict[str, tuple] = {
+    "fetch_latency_quantiles": (q_fetch_latency_quantiles,
+                                SQL_FETCH_LATENCY_QUANTILES),
     "robots_asof": (q_robots_asof, SQL_ROBOTS_ASOF),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
