@@ -161,7 +161,77 @@ FROM bodies,
 """
 
 
+# ---------------------------------------------------------------------------
+# sitemap INDEX files (<sitemapindex> — the protocol's two-level form)
+# ---------------------------------------------------------------------------
+# Large sites shard their sitemaps: robots advertises ONE index file
+# whose <sitemap><loc> entries point at child urlsets (each itself
+# bounded at 50k URLs / 50 MB). Discovery is therefore a two-level
+# parse: index → child sitemap URLs → fetch → urlset parse. The fixture
+# groups hosts into 20 index files; the final row set must equal the
+# flat per-host parse EXACTLY — a dropped child file silently loses all
+# its URLs, which is why the whole chain (index parse → child join →
+# urlset parse) is under the value hash, not just the leaf parser.
+#
+# Scale story: the index blob is tiny (≤ 50k loc entries); the child
+# join keys on host — the same key the urlset build/fetch table already
+# carries — and the per-child urlset parse stays a per-row JVM
+# expression. No new shuffle shape vs the flat case.
+
+N_IDX_GROUPS = 20
+
+_SMINDEX_SCHEMA = "STRUCT<sitemap: ARRAY<STRUCT<loc: STRING>>>"
+
+
+def sitemap_index_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One <sitemapindex> blob per host GROUP (host mod N_IDX_GROUPS),
+    children in host order (same map-side-combinable sort_array build
+    as the urlset blobs)."""
+    o = t(spark, sf_dir, "orders")
+    hosts = (o.select((F.col("o_custkey") % N_HOSTS).alias("host"))
+             .distinct())
+    child = F.format_string(
+        "<sitemap><loc>https://host%d.example.com/sitemap.xml</loc>"
+        "</sitemap>", F.col("host"))
+    return (hosts.select((F.col("host") % N_IDX_GROUPS).alias("grp"),
+                         F.struct(F.col("host").alias("k"),
+                                  child.alias("e")).alias("ent"))
+            .groupBy("grp")
+            .agg(F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list("ent")), lambda x: x["e"]),
+                    ""),
+                F.lit("</sitemapindex>")).alias("xml")))
+
+
+def q_sitemap_index_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level discovery: parse the index blobs, resolve each child
+    <loc> back to its host, join the child urlset blobs on host, parse
+    those, and emit (grp, host, loc) — value-equal to the flat parse,
+    proving the index layer loses nothing."""
+    idx = sitemap_index_per_group(spark, sf_dir)
+    children = (idx.withColumn("_p", F.from_xml("xml", _SMINDEX_SCHEMA))
+                .select("grp", F.explode("_p.sitemap").alias("_s"))
+                .select("grp", F.regexp_extract(
+                    F.col("_s.loc"), r"^https://host(\d+)\.", 1)
+                    .cast("bigint").alias("host")))
+    blobs = sitemap_xml_per_host(spark, sf_dir)
+    return (parse_sitemaps(children.join(blobs, "host"))
+            .select("grp", "host", "loc"))
+
+
+SQL_SITEMAP_INDEX_PARSE = """
+SELECT (o_custkey % 200) % 20 AS grp,
+       o_custkey % 200 AS host,
+       'https://host' || (o_custkey % 200) || '.example.com/page/' ||
+           o_orderkey AS loc
+FROM orders
+"""
+
+
 REG: dict[str, tuple] = {
     "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
+    "sitemap_index_parse": (q_sitemap_index_parse, SQL_SITEMAP_INDEX_PARSE),
     "sitemap_discover": (q_sitemap_discover, SQL_SITEMAP_DISCOVER),
 }
