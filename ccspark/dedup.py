@@ -23,7 +23,8 @@ band-bucket join shuffles only (band, signature) keys, never pairwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (DataFrame, Observation, SparkSession, Window,
+                         functions as F)
 
 from .analytics import t
 
@@ -222,22 +223,46 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     edges = pairs.union(pairs.select(
         F.col("doc_b").alias("doc_a"),
         F.col("doc_a").alias("doc_b"))).localCheckpoint()
-    labels = (nodes
-              .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                      F.col("doc_id").cast("bigint").alias("cluster_id"))
-              .localCheckpoint())
+    # the loop runs over edge-INCIDENT nodes only (doc_a covers both
+    # endpoints — edges carry each pair in both directions): a node with
+    # no edge can never change its label, so singletons — the OVERWHELMING
+    # majority of a near-dup corpus — skip the iteration entirely and
+    # rejoin at the end. Cuts every per-iteration shuffle/checkpoint/count
+    # from corpus-sized to duplicate-graph-sized (measured 8.6 → ~2 s at
+    # sf0.1 where 772 of 5000 docs are incident).
+    incident = (edges.select(F.col("doc_a").cast("bigint").alias("doc_id"))
+                .distinct().localCheckpoint())
+    labels = incident.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
     for _ in range(_CC_MAX_ITERS):
         prop = (edges.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
                 .select(F.col("doc_b").alias("doc_id"), "cluster_id"))
-        new = (labels.union(prop)
-               .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+        # convergence check fused into the SAME pass that materializes
+        # the new labels: each doc's previous label rides the union as
+        # the _own-tagged row, and an Observation sums label drops on
+        # the checkpoint job — 1 job/iteration instead of 3 (the
+        # join+count probe was pure scheduler overhead at graph sizes
+        # where the data already fits one task)
+        obs = Observation()
+        tagged = (labels.withColumn("_own", F.lit(True))
+                  .union(prop.withColumn("_own", F.lit(False))))
+        new = (tagged.groupBy("doc_id")
+               .agg(F.min("cluster_id").alias("cluster_id"),
+                    F.min(F.when(F.col("_own"), F.col("cluster_id")))
+                     .alias("_prev"))
+               .observe(obs, F.coalesce(
+                   F.sum((F.col("cluster_id") < F.col("_prev"))
+                         .cast("long")), F.lit(0)).alias("chg"))
+               .drop("_prev")
                .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("cluster_id", "prev"),
-                            "doc_id")
-                   .filter(F.col("cluster_id") != F.col("prev")).count())
+        changed = obs.get["chg"]
         labels = new
         if changed == 0:
-            return labels
+            singles = (nodes
+                       .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+                       .join(incident, "doc_id", "left_anti")
+                       .select("doc_id", F.col("doc_id").alias("cluster_id")))
+            return labels.union(singles)
     raise AssertionError(f"CC did not converge in {_CC_MAX_ITERS} rounds")
 
 
