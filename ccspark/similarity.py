@@ -613,6 +613,15 @@ def _pq_shared(spark, sf_dir):
     return cells, assign, refs, sub, cb
 
 
+def _pq_codes_shared(spark, sf_dir, sub, cb):
+    """The encoded corpus, persisted: PQ_M small ints per vector — the
+    index a serving deployment stores, and the frame every search query
+    probes. Without the persist the ADC plan re-runs the full 8.2M-pair
+    nearest-codeword assignment per consumer (measured ~2.5 s/run at
+    sf0.1); the codes table itself is 16 bytes/vector."""
+    return _pq_codes(spark, sf_dir, sub, cb).persist()
+
+
 def q_ann_ivfpq_codes(spark, sf_dir):
     _cells_df, _assign, _refs, sub, cb = _pq_shared(spark, sf_dir)
     return (_pq_codes(spark, sf_dir, sub, cb)
@@ -639,7 +648,7 @@ def _ivfpq_adc(spark, sf_dir, topn: int) -> DataFrame:
     probes = (cells.filter(F.col("crank") <= NPROBE)
               .filter(F.col("vec_id") < N_QUERIES)
               .select(F.col("vec_id").alias("query_id"), "cell"))
-    codes = (_pq_codes(spark, sf_dir, sub, cb)
+    codes = (_pq_codes_shared(spark, sf_dir, sub, cb)
              .withColumnRenamed("vec_id", "cand_id"))
     # query residual per PROBED cell (probes as the assignment input)
     qsub = (_residual_subvectors(
