@@ -67,7 +67,8 @@ HEADLINE = [
     "events_sessionize",
     "dedup_substring_spans", "host_pagerank",
     "robots_asof", "recrawl_schedule", "warc_revisit", "crawl_diff",
-    "dedup_lines", "sitemap_parse",
+    "dedup_lines", "sitemap_parse", "sitemap_index_parse",
+    "fetch_latency_quantiles",
     "crawl_scheduled_2rounds",
 ]
 
