@@ -329,8 +329,7 @@ SQL_INVERTED_INDEX = (
 # orders mixing plain TLDs, PSL suffixes, and 0-2 subdomain labels so
 # every branch carries rows.
 
-_PSL2 = ["co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
-         "co.jp", "ne.jp", "com.br", "com.cn", "co.in", "co.za"]
+from .kernels import PSL2 as _PSL2  # noqa: E402 (shared with the engine)
 
 _RD_SUFFIXES = ["com", "org", "net", "io", "co.uk", "gov.uk", "com.au",
                 "co.jp"]

@@ -352,6 +352,27 @@ def md5_keys(urls: pd.Series) -> pd.Series:
     return urls.map(md5_key_one).astype("int64")
 
 
+#: public-suffix subset for registered-domain extraction (the full
+#: publicsuffix.org list is data, not logic — a deployment swaps it in).
+#: Shared by the engine expression (politeness.domain_group_col), the
+#: analytics query (content.url_registered_domain) and the pure-Python
+#: oracle, so all three agree by construction.
+PSL2 = ("co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+        "co.jp", "ne.jp", "com.br", "com.cn", "co.in", "co.za")
+
+
+def registered_domain_one(host: str) -> str:
+    """publicsuffix.org rule over PSL2: last-2 labels ∈ PSL → registered
+    domain is the last THREE labels, else the last two (or the host
+    itself when it has a single label)."""
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in PSL2:
+        return ".".join(labels[-3:])
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return host
+
+
 def md5_key2_one(url: str) -> int:
     """Second independent 60-bit key: hex digits 17-31 of the same md5.
     Drives the change-at-revisit coin in fetchsim so it is independent of

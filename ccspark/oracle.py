@@ -368,11 +368,16 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             if params.politeness_ip_groups is not None:
                 unit = K.md5_key_one("ip:" + c["host_key"]) \
                     % params.politeness_ip_groups
+            elif params.politeness_by_domain:
+                # per-site grouping (mirrors politeness.domain_group_col)
+                unit = K.registered_domain_one(c["host_key"])
             else:
                 unit = c["host_key"]
             by_unit.setdefault(unit, []).append(c)
         if params.politeness_ip_groups is not None:
             m["ip_groups"] = len(by_unit)
+        elif params.politeness_by_domain:
+            m["domain_groups"] = len(by_unit)
         # priority aging (mirrors scheduler.run_round's _eff column): the
         # SCHEDULING key uses priority + rounds-waited × boost — same int
         # subtract + double multiply-add, same IEEE op order. Recorded

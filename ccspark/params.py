@@ -140,6 +140,17 @@ class CrawlParams:
     #: holding frontier rows. None = per-host politeness (default —
     #: reference-parity budgets unchanged).
     politeness_ip_groups: int | None = None
+    #: per-SITE politeness grouping: the politeness unit is the
+    #: REGISTERED DOMAIN (publicsuffix rule over kernels.PSL2 — last-2
+    #: labels ∈ PSL → last 3 labels, else last 2), so a site's
+    #: subdomains (the classic budget-multiplication loophole: a
+    #: thousand *.example.com vhosts each minting their own budget)
+    #: share ONE crawl-rate budget. Same machinery as per-IP grouping —
+    #: group delay = MAX member-host effective delay over the current
+    #: frontier, budgets/selection/offsets keyed on the group — with the
+    #: registered domain as the key; `domain_groups` metric. Mutually
+    #: exclusive with politeness_ip_groups. False = off (default).
+    politeness_by_domain: bool = False
     #: frontier priority aging (starvation control): when set, the
     #: SCHEDULING order — selection windows, fetch-offset ranks, and the
     #: global backpressure cut — uses the aged priority

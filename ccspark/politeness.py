@@ -142,19 +142,54 @@ def ip_group_col(n_groups: int):
         F.lit(n_groups)).cast("int")
 
 
-def ip_group_delays(frontier: DataFrame, robots: DataFrame,
-                    params: CrawlParams,
-                    host_delays: DataFrame | None = None) -> DataFrame:
-    """(_gk, _gd): each address group's effective delay = MAX of its
+def domain_group_col():
+    """host → registered domain (publicsuffix rule over kernels.PSL2):
+    the per-SITE politeness unit — a site's subdomains (crawl budget
+    multiplication's favorite loophole) share one budget. Pure string
+    expressions, mirrors kernels.registered_domain_one exactly."""
+    from .kernels import PSL2
+    labels = F.split("host_key", r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    psl = F.array(*[F.lit(s) for s in PSL2])
+    return (F.when((n >= 3) & F.array_contains(psl, last2), last3)
+            .when(n >= 2, last2)
+            .otherwise(F.col("host_key")))
+
+
+def politeness_group_col(params: CrawlParams):
+    """The politeness-unit key expression when grouping is on, else
+    None: address group (politeness_ip_groups) or registered domain
+    (politeness_by_domain). Both at once is a config error."""
+    assert not (params.politeness_ip_groups is not None
+                and params.politeness_by_domain), \
+        "politeness_ip_groups and politeness_by_domain are exclusive"
+    if params.politeness_ip_groups is not None:
+        return ip_group_col(params.politeness_ip_groups)
+    if params.politeness_by_domain:
+        return domain_group_col()
+    return None
+
+
+def group_delays(frontier: DataFrame, robots: DataFrame,
+                 params: CrawlParams,
+                 host_delays: DataFrame | None = None) -> DataFrame:
+    """(_gk, _gd): each politeness group's effective delay = MAX of its
     member hosts' effective (robots ∨ adaptive) delays over the hosts
-    present in the CURRENT frontier — the shared server is crawled at
-    its slowest member's cadence. Groups-sized output; the max is a
+    present in the CURRENT frontier — the shared server/site is crawled
+    at its slowest member's cadence. Groups-sized output; the max is a
     map-side-combinable aggregate, so a hot group (many vhosts on one
-    address) is absorbed in partial aggregation, not a single task."""
+    address / subdomains on one site) is absorbed in partial
+    aggregation, not a single task."""
     return (_join_delays(frontier, robots, host_delays)
-            .withColumn("_gk", ip_group_col(params.politeness_ip_groups))
+            .withColumn("_gk", politeness_group_col(params))
             .groupBy("_gk")
             .agg(F.max(_effective_delay(params, host_delays)).alias("_gd")))
+
+
+# back-compat name (r4 per-IP grouping landed first)
+ip_group_delays = group_delays
 
 
 def schedule_frontier(frontier: DataFrame, robots: DataFrame,
@@ -169,8 +204,7 @@ def schedule_frontier(frontier: DataFrame, robots: DataFrame,
     scheduled rows (budget column dropped)."""
     if ip_delays is not None:
         key = "_gk"
-        fb = (frontier.withColumn("_gk",
-                                  ip_group_col(params.politeness_ip_groups))
+        fb = (frontier.withColumn("_gk", politeness_group_col(params))
               .join(ip_delays, "_gk")
               .withColumn("budget",
                           F.floor(F.lit(params.round_seconds)
@@ -213,8 +247,7 @@ def with_fetch_offsets(sched: DataFrame, robots: DataFrame,
     scheduled subset (the slowest member may not have been scheduled)."""
     if ip_delays is not None:
         w = Window.partitionBy("_gk").orderBy(*order_cols(pri_col))
-        return (sched.withColumn("_gk",
-                                 ip_group_col(params.politeness_ip_groups))
+        return (sched.withColumn("_gk", politeness_group_col(params))
                 .join(ip_delays, "_gk")
                 .withColumn("fetch_offset_ms",
                             ((F.row_number().over(w) - 1)

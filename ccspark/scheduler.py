@@ -27,7 +27,7 @@ from .extract import extract_links
 from .fetchsim import discovered_docs, with_fetch_sim
 from .params import CrawlParams
 from .politeness import (order_cols, robots_admission_filter,
-                         ip_group_delays, schedule_frontier,
+                         group_delays, schedule_frontier,
                          with_fetch_offsets)
 from .seen import SeenSet, with_bucket
 from .tables import SnapshotStore
@@ -474,15 +474,17 @@ class CrawlEngine:
                 + (F.lit(r) - F.col("depth")) * F.lit(p.age_boost_pm / 1000.0))
             pri_col = "_eff"
 
-        # per-IP politeness: the address-group delay table (groups-sized
-        # max aggregate over the frontier, cached — it feeds BOTH the
-        # budget join and the offsets join, and its count is the
-        # ip_groups metric). Oracle mirror in ccspark.oracle.
+        # grouped politeness (per-IP address group or per-registered-
+        # domain site): the group delay table (groups-sized max
+        # aggregate over the frontier, cached — it feeds BOTH the budget
+        # join and the offsets join, and its count is the group-count
+        # metric). Oracle mirror in ccspark.oracle.
         ip_delays = None
-        if p.politeness_ip_groups is not None:
-            ip_delays = ip_group_delays(frontier, self.robots, p,
-                                        host_delays).cache()
-            m["ip_groups"] = ip_delays.count()
+        if p.politeness_ip_groups is not None or p.politeness_by_domain:
+            ip_delays = group_delays(frontier, self.robots, p,
+                                     host_delays).cache()
+            m["ip_groups" if p.politeness_ip_groups is not None
+              else "domain_groups"] = ip_delays.count()
 
         # scheduled count observed on the fetched-table commit
         obs_sched = Observation()
