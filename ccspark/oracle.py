@@ -83,6 +83,7 @@ class OracleResult:
     domains: dict = field(default_factory=dict)                # host_key -> first round
     traps: dict = field(default_factory=dict)                  # host_key -> first trapped round
     frontier: dict = field(default_factory=dict)               # url -> record (unscheduled)
+    host_admitted: dict = field(default_factory=dict)          # host_key -> lifetime admissions
     metrics: list[dict] = field(default_factory=list)
 
 
@@ -325,6 +326,21 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         new = [c for u, c in batch_new.items() if u not in res.seen]
         m["dup_dropped"] = len(admitted) - len(new)
         m["dedup_rate"] = (m["dup_dropped"] / len(admitted)) if admitted else 0.0
+        # per-host lifetime quota (mirrors scheduler.run_round's capped
+        # admission): batch_new iterates in the SAME deterministic
+        # admission order the engine's per-host rank window sorts by, so
+        # the kept prefix per host is identical
+        if params.max_urls_per_host is not None:
+            kept, capped = [], 0
+            for c in new:
+                cnt = res.host_admitted.get(c["host_key"], 0)
+                if cnt < params.max_urls_per_host:
+                    res.host_admitted[c["host_key"]] = cnt + 1
+                    kept.append(c)
+                else:
+                    capped += 1
+            m["host_cap_dropped"] = capped
+            new = kept
         for c in new:
             res.seen[c["url"]] = r
             res.frontier[c["url"]] = c

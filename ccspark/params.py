@@ -151,6 +151,19 @@ class CrawlParams:
     #: registered domain as the key; `domain_groups` metric. Mutually
     #: exclusive with politeness_ip_groups. False = off (default).
     politeness_by_domain: bool = False
+    #: per-host lifetime quota (Heritrix maxDocumentsFromHost / crawl
+    #: budget allocation): a host may admit at most this many URLs over
+    #: the WHOLE crawl — once its cumulative admissions (scheduled rows
+    #: + live frontier rows, i.e. every URL that ever passed admission)
+    #: reach the cap, further candidates are dropped AT ADMISSION in the
+    #: deterministic batch order (total order + lineage — the same sort
+    #: the first-wins dedup uses), so the frontier never accumulates
+    #: work the quota forbids. Dropped count = `host_cap_dropped`;
+    #: dropped URLs do NOT enter the seen set (a later round may re-find
+    #: them, correctly — they were never crawled). Recrawl/revisit
+    #: re-admissions consume quota again (each is a real fetch).
+    #: None = unlimited (default).
+    max_urls_per_host: int | None = None
     #: frontier priority aging (starvation control): when set, the
     #: SCHEDULING order — selection windows, fetch-offset ranks, and the
     #: global backpressure cut — uses the aged priority

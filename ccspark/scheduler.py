@@ -388,8 +388,52 @@ class CrawlEngine:
 
         # new-seen count observed on the seen-delta commit's action
         obs_new = Observation()
-        new = (self.seen.filter_new(with_bucket(batch_dedup(admitted),
+        newx = self.seen.filter_new(with_bucket(batch_dedup(admitted),
                                                 partitions=p.seen_partitions))
+        # per-host lifetime quota (Heritrix maxDocumentsFromHost): prior
+        # admissions = scheduled-chain rows + live-frontier rows (exactly
+        # every URL that ever passed admission — compaction-safe: the
+        # scheduled chain is never pruned and the live frontier is
+        # admitted-minus-scheduled); within the batch, rank per host in
+        # the SAME deterministic order the first-wins dedup sorts by, and
+        # drop rows past the remaining allowance BEFORE they enter
+        # seen/frontier. Hosts-sized aggregate + one window; the dropped
+        # count rides the seen-commit job as an Observation. Oracle
+        # mirror in ccspark.oracle.
+        obs_cap = None
+        if p.max_urls_per_host is not None:
+            prior = None
+            if self.scheduled_tbl.exists():
+                prior = self.scheduled_tbl.read_chain().select("host_key")
+            live0 = self.live_frontier()
+            if live0 is not None:
+                live0 = live0.select("host_key")
+                prior = (prior.unionByName(live0)
+                         if prior is not None else live0)
+            newx = newx.withColumn("_prior", F.lit(0).cast("long"))
+            if prior is not None:
+                counts = prior.groupBy("host_key").agg(
+                    F.count(F.lit(1)).alias("_pc"))
+                newx = (newx.drop("_prior")
+                        .join(counts, "host_key", "left")
+                        .withColumn("_prior", F.coalesce("_pc", F.lit(0)))
+                        .drop("_pc"))
+            w_cap = Window.partitionBy("host_key").orderBy(
+                *order_cols(), F.col("src_doc_id").asc(),
+                F.col("offset").asc())
+            obs_cap = Observation()
+            ranked = newx.withColumn("_hrn", F.row_number().over(w_cap))
+            cap_over = ranked.filter(
+                F.col("_prior") + F.col("_hrn") > p.max_urls_per_host)
+            newx = (ranked
+                    .observe(obs_cap, F.coalesce(F.sum(
+                        (F.col("_prior") + F.col("_hrn")
+                         > p.max_urls_per_host).cast("long")),
+                        F.lit(0)).alias("n"))
+                    .filter(F.col("_prior") + F.col("_hrn")
+                            <= p.max_urls_per_host)
+                    .drop("_prior", "_hrn"))
+        new = (newx
                .observe(obs_new, F.count(F.lit(1)).alias("n"))
                .cache())
         versions = self.seen.add(new, r)
@@ -409,7 +453,13 @@ class CrawlEngine:
         else:
             n_kept = n_adm
         m["new_seen"] = _observed_count(obs_new, new)
-        m["dup_dropped"] = n_kept - m["new_seen"]
+        n_capped = 0
+        if obs_cap is not None:
+            n_capped = int(_observed_count(obs_cap, cap_over))
+            m["host_cap_dropped"] = n_capped
+        # dup_dropped stays the PRE-cap dedup count: kept − (admitted
+        # post-cap + cap-dropped)
+        m["dup_dropped"] = n_kept - m["new_seen"] - n_capped
         m["dedup_rate"] = (m["dup_dropped"] / n_kept) if n_kept else 0.0
 
         # U6: first-seen domains delta (anti-join against the domain chain)
