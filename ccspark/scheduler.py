@@ -763,6 +763,43 @@ class CrawlEngine:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest
 
+    def export_warc(self, out_dir: str) -> DataFrame:
+        """Archive the crawl: every successfully fetched page (status
+        200 with a known document) written as WARC response records
+        through the distributed `.warc.gz` sink (warc.write_warc — one
+        shard per partition, one gzip member per record, Common Crawl's
+        layout, byte-readable back through warc_records). The payload is
+        the document's interleaved span sequence serialized in offset
+        order ('kind:text-or-ref' lines — the input_hint table IS the
+        fetched representation in this engine; a deployment with raw
+        bytes swaps its payload column in). Returns the shard manifest
+        (path, n_records, n_bytes)."""
+        from .warc import write_warc
+
+        sched = (self.scheduled_rounds()
+                 .filter(F.col("status") == 200)
+                 .select("url", "content_type"))
+        docs = self.docs.select(
+            F.col("page_url").alias("url"),
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.expr(
+                            "transform(spans, s -> struct("
+                            " s.offset AS offset, s.kind AS kind,"
+                            " coalesce(nullif(s.text, ''), s.media_ref)"
+                            "   AS body))")),
+                        lambda s: F.concat_ws(":", s["offset"], s["kind"],
+                                              s["body"])),
+                    "\n"),
+                "UTF-8").alias("payload"))
+        rows = (sched.join(docs, "url")
+                .select(F.col("url").alias("uri"),
+                        F.coalesce("content_type",
+                                   F.lit("text/html")).alias("mime"),
+                        "payload"))
+        return write_warc(rows, out_dir)
+
     def scheduled_rounds(self) -> DataFrame:
         """All scheduled rows across committed rounds, in total order."""
         return (self.scheduled_tbl.read_chain()
