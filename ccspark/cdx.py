@@ -241,6 +241,58 @@ SELECT url,
 FROM agg"""
 
 
+def write_cdx(captures, out_dir: str):
+    """Distributed zipnum-style CDX writer (the index sibling of
+    warc.write_warc): `captures` has (cdx_key, ts14, url, digest); rows
+    are range-grouped by the SURT host prefix (shard = everything before
+    ')' — contiguous in key order like the real cluster.idx ranges),
+    sorted (cdx_key, ts14) within each shard file, and streamed as
+    gzip text lines 'cdx_key ts14 url digest'. Returns the shard
+    manifest (path, first_key, n_records) — the secondary index a
+    lookup binary-searches. One file per partition; executor memory
+    holds one Arrow batch."""
+    import gzip
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard = F.substring_index("cdx_key", ")", 1)
+    arranged = (captures.withColumn("_shard", shard)
+                .repartition("_shard")
+                .sortWithinPartitions("cdx_key", "ts14"))
+
+    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"cdx-{pid:05d}.gz")
+        n = 0
+        first = None
+        fh = None
+        try:
+            for pdf in batches:
+                if len(pdf) and fh is None:
+                    fh = gzip.open(path, "wb")
+                for k, ts, url, dg in zip(pdf["cdx_key"], pdf["ts14"],
+                                          pdf["url"], pdf["digest"]):
+                    if first is None:
+                        first = k
+                    fh.write(f"{k} {ts} {url} {dg}\n".encode())
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield pd.DataFrame({"path": [path], "first_key": [first],
+                                "n_records": [n]})
+
+    return (arranged.select("cdx_key", "ts14", "url", "digest")
+            .mapInPandas(write_parts,
+                         "path string, first_key string, n_records long"))
+
+
 REG: dict[str, tuple] = {
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     "cdx_block_index": (q_cdx_block_index, SQL_CDX_BLOCK_INDEX),

@@ -800,6 +800,28 @@ class CrawlEngine:
                         "payload"))
         return write_warc(rows, out_dir)
 
+    def export_cdx(self, out_dir: str) -> DataFrame:
+        """Index the crawl: one CDX line per successful fetch, keyed by
+        the row's SURT (already computed at canonicalization), timestamp
+        = a 14-digit day derived from the fetch round, digest = the
+        deterministic fetch_id prefix. Written through cdx.write_cdx
+        (zipnum-style gz shards grouped by SURT host prefix + secondary
+        manifest). With export_warc this completes the archive stack a
+        Common Crawl-style deployment publishes: WARC shards + CDX
+        index."""
+        from .cdx import write_cdx
+
+        cap = (self.scheduled_rounds()
+               .filter(F.col("status") == 200)
+               .select(F.col("surt").alias("cdx_key"),
+                       F.concat(F.date_format(
+                           F.date_add(F.lit("2026-01-01"),
+                                      F.col("fetch_round")),
+                           "yyyyMMdd"), F.lit("000000")).alias("ts14"),
+                       "url",
+                       F.substring("fetch_id", 1, 8).alias("digest")))
+        return write_cdx(cap, out_dir)
+
     def scheduled_rounds(self) -> DataFrame:
         """All scheduled rows across committed rounds, in total order."""
         return (self.scheduled_tbl.read_chain()
