@@ -285,3 +285,66 @@ class TestR4PipelineOpPlans:
         p = phys(with_robots_blocked_flag(cand, rb))
         assert "BroadcastNestedLoop" not in p
         assert "CartesianProduct" not in p
+
+
+class TestLateR4Plans:
+    """Plan audits for the late round-4 operators."""
+
+    def test_mime_sniff_is_shuffle_free(self, spark):
+        from ccspark import multimodal
+        p = phys(multimodal.q_media_mime_sniff(spark, SF))
+        assert "Exchange" not in p, p[:2000]
+
+    def test_shard_assign_single_agg_exchange(self, spark):
+        """Rendezvous assignment: the explode over the shard range stays
+        in the row's partition — the only exchanges are the host
+        distinct + the per-host argmax agg (same key, and Catalyst may
+        reuse the partitioning)."""
+        from ccspark import sharding
+        hosts = sharding._hosts(spark, SF)
+        p = phys(sharding.assign_shards(hosts, sharding.N_SHARDS))
+        n_ex = sum(1 for ln in p.splitlines()
+                   if "Exchange hashpartitioning" in ln)
+        assert n_ex <= 2, p[:3000]
+        assert "partial_max" in p or "partial" in p.lower(), (
+            "argmax should map-side combine")
+
+    def test_registered_domain_one_exchange(self, spark):
+        """Zero shuffle past the host groupBy that builds the fixture."""
+        from ccspark import content
+        p = phys(content.q_url_registered_domain(spark, SF))
+        n_ex = sum(1 for ln in p.splitlines()
+                   if "Exchange hashpartitioning" in ln)
+        assert n_ex == 1, p[:3000]
+
+    def test_latency_quantiles_partial_agg(self, spark):
+        """EXACT percentiles still map-side combine: one exchange on
+        host with partial_percentile below it."""
+        from ccspark import recrawl
+        p = phys(recrawl.q_fetch_latency_quantiles(spark, SF))
+        n_ex = sum(1 for ln in p.splitlines()
+                   if "Exchange hashpartitioning" in ln)
+        assert n_ex == 1, p[:3000]
+        assert "partial_percentile" in p, p[:3000]
+
+    def test_grouped_politeness_reuses_gk_partitioning(self, spark):
+        """The per-IP selection's budget join and windows all key on
+        _gk: the plan must not shuffle on anything else between the
+        group-delay join and the final window."""
+        from ccspark.benchflow import synthetic_candidates
+        from ccspark.params import CrawlParams
+        from ccspark.politeness import group_delays, schedule_frontier
+        from ccspark.scheduler import batch_dedup, canonicalize
+        from ccspark.seen import with_bucket
+
+        params = CrawlParams(politeness_ip_groups=64)
+        robots = spark.createDataFrame(
+            [], "host string, crawl_delay double, disallow array<string>")
+        cand = synthetic_candidates(spark, 10_000)
+        deduped = with_bucket(batch_dedup(canonicalize(cand, 0)),
+                              partitions=8)
+        gd = group_delays(deduped, robots, params)
+        p = phys(schedule_frontier(deduped, robots, params, None, gd))
+        gk_ex = sum(1 for ln in p.splitlines()
+                    if "Exchange hashpartitioning(_gk" in ln)
+        assert gk_ex >= 1, p[:3000]
