@@ -263,7 +263,141 @@ SQL_ANCHOR_TEXT_AGG = (
     " FROM ranked GROUP BY url_raw")
 
 
+# ---------------------------------------------------------------------------
+# mirror-site detection (host-level content overlap, Broder-style)
+# ---------------------------------------------------------------------------
+# Crawlers burn budget re-fetching mirrors (the same site under several
+# hostnames — CDNs, country aliases, scraped clones). The classic
+# detector (Broder et al.'s resemblance applied at host granularity;
+# Bharat & Broder, WWW 1999) is content-digest overlap: host pair
+# similarity = Jaccard of their page-digest SETS. The shuffle-native
+# plan inverts the host×host problem: join hosts THROUGH shared digests
+# (shuffle keyed on digest — content-hash partitioning), count
+# co-occurrences per pair, and divide by the per-host set sizes. Pair
+# blowup through boilerplate digests shared by everyone is cut by the
+# standard document-frequency cap (digests on > MIRROR_DF_CAP hosts are
+# dropped — they carry no mirror signal; logged contract, the same A8
+# move the vocab pruning uses).
+#
+# Fixture: 24 hosts in 8 mirror families of 3 (host mod 8); a page's
+# digest embeds (content id, family) so same-family hosts share most
+# digests (their order-key coverage overlaps but is not identical —
+# realistic partial mirroring) and cross-family pairs share none.
+
+MIRROR_N_HOSTS = 24
+MIRROR_FAMILIES = 8
+MIRROR_DF_CAP = 16
+MIRROR_JACCARD_MIN = 0.5
+
+
+def _host_digests(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    host = (F.col("o_orderkey") % MIRROR_N_HOSTS).cast("bigint")
+    fam = host % MIRROR_FAMILIES
+    digest = F.md5(F.concat(F.lit("doc"),
+                            F.expr(f"o_orderkey div {MIRROR_N_HOSTS}")
+                            .cast("string"),
+                            F.lit(":"), fam.cast("string")))
+    return (o.select(host.alias("host"), digest.alias("digest"))
+            .distinct())
+
+
+_HOST_DIGESTS_DUCK = (
+    "SELECT DISTINCT CAST(o_orderkey % 24 AS BIGINT) AS host,"
+    " md5('doc' || CAST(o_orderkey // 24 AS VARCHAR) || ':'"
+    "     || CAST((o_orderkey % 24) % 8 AS VARCHAR)) AS digest"
+    " FROM orders")
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Host pairs with digest-set Jaccard ≥ MIRROR_JACCARD_MIN."""
+    hd = _host_digests(spark, sf_dir)
+    sizes = hd.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    hot = (hd.groupBy("digest").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > MIRROR_DF_CAP).select("digest"))
+    hd2 = hd.join(hot, "digest", "left_anti")
+    pairs = (hd2.alias("a")
+             .join(hd2.alias("b"), "digest")
+             .filter(F.col("a.host") < F.col("b.host"))
+             .groupBy(F.col("a.host").alias("host_a"),
+                      F.col("b.host").alias("host_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (pairs
+            .join(sizes.select(F.col("host").alias("host_a"),
+                               F.col("n").alias("na")), "host_a")
+            .join(sizes.select(F.col("host").alias("host_b"),
+                               F.col("n").alias("nb")), "host_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= MIRROR_JACCARD_MIN)
+            .select("host_a", "host_b", F.col("inter").cast("bigint")
+                    .alias("shared_docs"), "jaccard"))
+
+
+SQL_MIRROR_HOSTS = (
+    "WITH hd AS (" + _HOST_DIGESTS_DUCK + "),"
+    " sizes AS (SELECT host, count(*) AS n FROM hd GROUP BY host),"
+    " hot AS (SELECT digest FROM hd GROUP BY digest"
+    f"         HAVING count(*) > {MIRROR_DF_CAP}),"
+    " hd2 AS (SELECT * FROM hd WHERE digest NOT IN (SELECT digest FROM hot)),"
+    " pairs AS (SELECT a.host AS host_a, b.host AS host_b,"
+    "                  count(*) AS inter"
+    "           FROM hd2 a JOIN hd2 b USING (digest)"
+    "           WHERE a.host < b.host GROUP BY a.host, b.host)"
+    " SELECT host_a, host_b, CAST(inter AS BIGINT) AS shared_docs,"
+    "  round(inter / (sa.n + sb.n - inter), 6) AS jaccard"
+    " FROM pairs JOIN sizes sa ON sa.host = host_a"
+    "            JOIN sizes sb ON sb.host = host_b"
+    f" WHERE round(inter / (sa.n + sb.n - inter), 6) >= {MIRROR_JACCARD_MIN}")
+
+
+def q_mirror_clusters(spark, sf_dir):
+    """Mirror families: connected components of the mirror-pair graph
+    (reuses dedup.connected_components — min-host label propagation),
+    singletons included with cluster_id = own id. The budget planner
+    then crawls ONE representative per cluster."""
+    from .dedup import connected_components
+
+    pairs = (q_mirror_hosts(spark, sf_dir)
+             .select(F.col("host_a").alias("doc_a"),
+                     F.col("host_b").alias("doc_b")))
+    hosts = (_host_digests(spark, sf_dir).select("host").distinct()
+             .select(F.col("host").alias("doc_id")))
+    return (connected_components(hosts, pairs)
+            .select(F.col("doc_id").alias("host"),
+                    F.col("cluster_id").alias("mirror_cluster")))
+
+
+SQL_MIRROR_CLUSTERS = (
+    "WITH RECURSIVE hd AS (" + _HOST_DIGESTS_DUCK + "),"
+    " sizes AS (SELECT host, count(*) AS n FROM hd GROUP BY host),"
+    " hot AS (SELECT digest FROM hd GROUP BY digest"
+    f"         HAVING count(*) > {MIRROR_DF_CAP}),"
+    " hd2 AS (SELECT * FROM hd WHERE digest NOT IN (SELECT digest FROM hot)),"
+    " pairs AS (SELECT a.host AS host_a, b.host AS host_b,"
+    "                  count(*) AS inter"
+    "           FROM hd2 a JOIN hd2 b USING (digest)"
+    "           WHERE a.host < b.host GROUP BY a.host, b.host),"
+    " mp AS (SELECT host_a, host_b FROM pairs"
+    "        JOIN sizes sa ON sa.host = host_a"
+    "        JOIN sizes sb ON sb.host = host_b"
+    "  WHERE round(inter / (sa.n + sb.n - inter), 6)"
+    f"        >= {MIRROR_JACCARD_MIN}),"
+    " e AS (SELECT host_a AS src, host_b AS dst FROM mp"
+    "       UNION ALL SELECT host_b, host_a FROM mp),"
+    " reach(v, u) AS ("
+    "   SELECT host, host FROM (SELECT DISTINCT host FROM hd)"
+    "   UNION"
+    "   SELECT r.v, e.dst FROM reach r JOIN e ON e.src = r.u)"
+    " SELECT CAST(v AS BIGINT) AS host,"
+    "  CAST(min(u) AS BIGINT) AS mirror_cluster"
+    " FROM reach GROUP BY v")
+
+
 REG: dict[str, tuple] = {
+    "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
+    "mirror_clusters": (q_mirror_clusters, SQL_MIRROR_CLUSTERS),
     "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "anchor_text_agg": (q_anchor_text_agg, SQL_ANCHOR_TEXT_AGG),
