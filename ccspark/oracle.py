@@ -84,6 +84,7 @@ class OracleResult:
     traps: dict = field(default_factory=dict)                  # host_key -> first trapped round
     frontier: dict = field(default_factory=dict)               # url -> record (unscheduled)
     host_admitted: dict = field(default_factory=dict)          # host_key -> lifetime admissions
+    content_seen: set = field(default_factory=set)             # span digests extracted
     metrics: list[dict] = field(default_factory=list)
 
 
@@ -102,6 +103,21 @@ def _pagerank_fp(nodes: set, edges: set, iters: int = 3) -> dict:
             inflow[d] = inflow.get(d, 0) + (ranks[s] * 85 // 100) // outdeg[s]
         ranks = {n: base + inflow.get(n, 0) for n in nodes}
     return ranks
+
+
+def _span_serial(doc: dict) -> str:
+    """Python twin of scheduler.span_serial_expr — byte-for-byte: spans
+    sorted by (offset, kind, body), one 'offset:kind:body' line each,
+    body = text or (when text is empty) media_ref."""
+    rows = sorted((s["offset"], s["kind"],
+                   s["text"] if s["text"] else s["media_ref"])
+                  for s in doc["spans"])
+    return "\n".join(f"{o}:{k}:{b}" for o, k, b in rows)
+
+
+def _span_digest(doc: dict) -> str:
+    import hashlib
+    return hashlib.md5(_span_serial(doc).encode("utf-8")).hexdigest()
 
 
 def _robots_rule_matches(path: str, p: str) -> bool:
@@ -433,6 +449,7 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         # 5. deterministic fetch-sim (md5-keyed; ccspark.fetchsim mirrors this)
         candidates = []
         fetched_pages = 0
+        fetched_docs = []  # (scheduled rec, doc) when content_dedup is on
         redirects = []
         n_not_modified = 0
         for c in scheduled:
@@ -453,11 +470,14 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             doc = docs_by_url.get(c["url"])
             if status == 200 and doc is not None:
                 fetched_pages += 1
-                exts = extract_links_py(doc, params.follow_links)
-                if params.max_hops is not None:
-                    for e in exts:
-                        e["hop"] = c["hop"] + 1
-                candidates.extend(exts)
+                if params.content_dedup:
+                    fetched_docs.append((c, doc))
+                else:
+                    exts = extract_links_py(doc, params.follow_links)
+                    if params.max_hops is not None:
+                        for e in exts:
+                            e["hop"] = c["hop"] + 1
+                    candidates.extend(exts)
             elif status == 301:
                 # mirrors CrawlEngine.run_round's redirect candidates:
                 # target = url + '/moved', lineage kind='redirect'
@@ -470,6 +490,24 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
                     **({"hop": c["hop"] + 1}
                        if params.max_hops is not None else {}),
                 })
+        # content-digest dedup (mirrors CrawlEngine.run_round): within the
+        # round, the winner per fresh digest is the smallest page_url;
+        # already-seen digests skip link extraction entirely
+        if params.content_dedup:
+            ndup = 0
+            for c, doc in sorted(fetched_docs,
+                                 key=lambda cd: cd[1]["page_url"]):
+                dg = _span_digest(doc)
+                if dg in res.content_seen:
+                    ndup += 1
+                    continue
+                res.content_seen.add(dg)
+                exts = extract_links_py(doc, params.follow_links)
+                if params.max_hops is not None:
+                    for e in exts:
+                        e["hop"] = c["hop"] + 1
+                candidates.extend(exts)
+            m["content_dups"] = ndup
         candidates.extend(redirects)
         m["pages_discovered"] = fetched_pages
         if params.follow_redirects:

@@ -164,6 +164,17 @@ class CrawlParams:
     #: re-admissions consume quota again (each is a real fetch).
     #: None = unlimited (default).
     max_urls_per_host: int | None = None
+    #: content-digest dedup in the discovery loop (the URL-seen set's
+    #: CONTENT-seen sibling — WARC-revisit semantics applied live): when
+    #: True, each discovered page's span sequence is serialized in
+    #: offset order and md5-digested; pages whose digest was already
+    #: seen (any earlier round, or earlier in this round's batch — the
+    #: within-batch winner is the smallest page_url) are still recorded
+    #: as fetched but their links are NOT re-extracted, so a mirrored
+    #: page's outlinks enter the frontier exactly once. Digests persist
+    #: in a `digests` delta table (same snapshot mechanism as domains);
+    #: metric `content_dups`. False = off (default).
+    content_dedup: bool = False
     #: frontier priority aging (starvation control): when set, the
     #: SCHEDULING order — selection windows, fetch-offset ranks, and the
     #: global backpressure cut — uses the aged priority

@@ -54,6 +54,23 @@ FRONTIER_COLS = ["url", "url_hash", "bucket", "host", "host_key", "surt",
                  "dom_depth", "dom_sib", "src_doc_id", "offset"]
 
 
+def span_serial_expr():
+    """The document's interleaved span sequence serialized in offset
+    order as 'offset:kind:body' lines (body = text, or media_ref for
+    media spans) — the canonical fetched representation. Shared by the
+    WARC payload (export_warc) and the content-digest dedup
+    (params.content_dedup); the pure-Python twin is
+    oracle._span_serial — byte-for-byte identical by construction."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.expr(
+                "transform(spans, s -> struct("
+                " s.offset AS offset, s.kind AS kind,"
+                " coalesce(nullif(s.text, ''), s.media_ref) AS body))")),
+            lambda s: F.concat_ws(":", s["offset"], s["kind"], s["body"])),
+        "\n")
+
+
 def _observed_count(obs: Observation, fallback: DataFrame) -> int:
     """obs.get['n'] with a count() fallback: an optimizer that proves a
     branch empty may eliminate the CollectMetrics node entirely (the AQE
@@ -159,6 +176,10 @@ class CrawlEngine:
         # crawl-trap host set (params.trap_ratio_pm): first-trapped hosts,
         # same delta-chain mechanism; empty/absent when the guard is off
         self.traps_tbl = self.store.table("traps")
+        # content-digest seen table (params.content_dedup): digests of
+        # every page whose links were extracted, delta-committed per
+        # round — the content-seen sibling of the URL-seen set
+        self.digests_tbl = self.store.table("digests")
         self.seeds_path = seeds_path
         self.sitemaps_path = sitemaps_path
         robots = spark.read.parquet(robots_path)
@@ -206,7 +227,8 @@ class CrawlEngine:
                   ("scheduled", self.scheduled_tbl),
                   ("candidates", self.candidates_tbl),
                   ("domains", self.domains_tbl),
-                  ("traps", self.traps_tbl)]
+                  ("traps", self.traps_tbl),
+                  ("digests", self.digests_tbl)]
         if last is None:
             for _, t in tables:
                 t.rollback_to(0)
@@ -581,6 +603,30 @@ class CrawlEngine:
                                             if p.max_hops is not None
                                             else ()))
                 .observe(obs_hits, F.count(F.lit(1)).alias("n")))
+        # content-digest dedup (params.content_dedup): a page whose span
+        # digest was already seen — any earlier round (digests delta
+        # chain) or earlier in this batch (within-batch winner = smallest
+        # page_url) — keeps its fetch record but does NOT re-extract
+        # links: a mirrored page's outlinks enter the frontier once.
+        # Oracle mirror in ccspark.oracle.
+        obs_cd = None
+        cd_winners = None
+        hits_all = hits  # pre-dedup reference for the obs_hits fallback
+        if p.content_dedup:
+            hd = hits.withColumn("_dg", F.md5(span_serial_expr()))
+            if self.digests_tbl.exists():
+                hd = hd.join(self.digests_tbl.read_chain()
+                             .select(F.col("digest").alias("_dg")),
+                             "_dg", "left_anti")
+            w_dg = Window.partitionBy("_dg").orderBy(F.col("page_url").asc())
+            obs_cd = Observation()
+            cd_winners = (hd.withColumn("_rn", F.row_number().over(w_dg))
+                          .filter(F.col("_rn") == 1).drop("_rn")
+                          .observe(obs_cd, F.count(F.lit(1)).alias("n"))
+                          .cache())
+            versions["digests"] = self.digests_tbl.commit(
+                cd_winners.select(F.col("_dg").alias("digest")), r)
+            hits = cd_winners.drop("_dg")
         next_cand = extract_links(hits, follow_links=p.follow_links)
         obs_redir = None
         if p.follow_redirects:
@@ -612,7 +658,11 @@ class CrawlEngine:
                      .observe(obs_redir, F.count(F.lit(1)).alias("n")))
             next_cand = next_cand.select(*redir.columns).unionByName(redir)
         versions["candidates"] = self.candidates_tbl.commit(next_cand, r)
-        m["pages_discovered"] = _observed_count(obs_hits, hits)
+        m["pages_discovered"] = _observed_count(obs_hits, hits_all)
+        if obs_cd is not None:
+            m["content_dups"] = m["pages_discovered"] - int(
+                _observed_count(obs_cd, cd_winners))
+            cd_winners.unpersist()
         if obs_redir is not None:
             m["redirects_followed"] = _observed_count(obs_redir, redir)
 
@@ -781,18 +831,7 @@ class CrawlEngine:
                  .select("url", "content_type"))
         docs = self.docs.select(
             F.col("page_url").alias("url"),
-            F.encode(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.expr(
-                            "transform(spans, s -> struct("
-                            " s.offset AS offset, s.kind AS kind,"
-                            " coalesce(nullif(s.text, ''), s.media_ref)"
-                            "   AS body))")),
-                        lambda s: F.concat_ws(":", s["offset"], s["kind"],
-                                              s["body"])),
-                    "\n"),
-                "UTF-8").alias("payload"))
+            F.encode(span_serial_expr(), "UTF-8").alias("payload"))
         rows = (sched.join(docs, "url")
                 .select(F.col("url").alias("uri"),
                         F.coalesce("content_type",
