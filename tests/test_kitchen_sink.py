@@ -2,7 +2,7 @@
 sitemap seeding, redirects, revisits (304), failure recrawl, max-hops,
 priority aging, per-domain politeness, per-host lifetime quota,
 adaptive delay, crawl-trap guard, PageRank prior, backpressure cap,
-compaction + snapshot GC — and the engine still reproduces the
+content-digest dedup, compaction + snapshot GC — and the engine still reproduces the
 pure-Python oracle EXACTLY. This is the strongest integration artifact
 the parity claim has: any unmodeled interaction between two policies
 breaks a row somewhere in 5 rounds.
@@ -32,6 +32,7 @@ PARAMS = CrawlParams(
     max_scheduled_per_round=15,
     compact_seen_every=2,
     expire_keep_last=4,
+    content_dedup=True,
 )
 
 METRIC_KEYS = ["candidates_in", "malformed_dropped", "robots_blocked",
@@ -39,7 +40,7 @@ METRIC_KEYS = ["candidates_in", "malformed_dropped", "robots_blocked",
                "frontier_depth", "pages_discovered", "domain_groups",
                "hops_exceeded", "redirects_followed", "revisited",
                "recrawled", "not_modified", "host_cap_dropped",
-               "trap_hosts_new", "trap_dropped"]
+               "trap_hosts_new", "trap_dropped", "content_dups"]
 
 
 @pytest.fixture(scope="module")
