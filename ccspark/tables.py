@@ -58,7 +58,23 @@ class SnapshotTable:
         mid-write leaves the previous snapshot authoritative (the
         resumability contract). kind='full' marks a snapshot that
         replaces the whole chain before it (compaction)."""
+        # optimistic concurrency (Iceberg's atomic metadata-pointer swap,
+        # filesystem edition): CLAIM the version number via O_EXCL file
+        # creation before writing any data — two writers racing the same
+        # table serialize onto distinct versions instead of silently
+        # overwriting each other's parquet dir + manifest (version gaps
+        # are fine: chain/read walk existing manifests, never N±1
+        # arithmetic). A claim whose commit crashed is cleaned by
+        # remove_orphans; readers ignore claims.
         version = (self.latest_version() or 0) + 1
+        while True:
+            claim = os.path.join(self.snap_dir, f".claim.v{version}")
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                version += 1
         path = os.path.join(self.dir, f"v{version}")
         w = df
         if repartition is not None:
@@ -88,6 +104,10 @@ class SnapshotTable:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
         os.rename(tmp, os.path.join(self.snap_dir, f"v{version}.json"))
+        try:
+            os.unlink(claim)
+        except FileNotFoundError:
+            pass
         return version
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -201,6 +221,19 @@ class SnapshotTable:
             if time.time() - os.path.getmtime(p) < older_than_s:
                 continue
             shutil.rmtree(p)
+            removed.append(n)
+        # stale version CLAIMS (crashed between claim and manifest):
+        # same age guard; a claim whose manifest landed was already
+        # unlinked by commit, so any survivor here is an orphan
+        for n in sorted(os.listdir(self.snap_dir)):
+            if not n.startswith(".claim.v"):
+                continue
+            p = os.path.join(self.snap_dir, n)
+            if int(n[len(".claim.v"):]) in have:
+                continue
+            if time.time() - os.path.getmtime(p) < older_than_s:
+                continue
+            os.unlink(p)
             removed.append(n)
         return removed
 

@@ -101,3 +101,44 @@ def test_engine_expiration_invisible_to_results(spark, fx_small, tmp_path):
                                           expire_keep_last=2))
     metrics = more.run(resume=True)
     assert more.store.last_round()["round"] == 4
+
+
+class TestCommitClaims:
+    """Optimistic concurrency: the O_EXCL version claim serializes racing
+    writers onto distinct versions (Iceberg's atomic pointer swap,
+    filesystem edition)."""
+
+    def test_claimed_version_is_skipped(self, spark, tmp_path):
+        import os
+
+        from ccspark.tables import SnapshotStore
+        t = SnapshotStore(spark, str(tmp_path / "s")).table("t")
+        t.commit(spark.range(3), 0)                     # v1
+        # a rival writer holds the claim on v2 but has not committed
+        os.close(os.open(os.path.join(t.snap_dir, ".claim.v2"),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        v = t.commit(spark.range(4), 1)
+        assert v == 3                                    # v2 skipped
+        assert t.read_chain().count() == 7               # gap is harmless
+        # crashed claim is an orphan; manifest-backed claims are gone
+        removed = t.remove_orphans()
+        assert ".claim.v2" in removed
+
+    def test_concurrent_commits_both_land(self, spark, tmp_path):
+        import threading
+
+        from ccspark.tables import SnapshotStore
+        t = SnapshotStore(spark, str(tmp_path / "s2")).table("t")
+        got = []
+
+        def committer(n):
+            got.append(t.commit(spark.range(n), 0))
+
+        th = [threading.Thread(target=committer, args=(n,))
+              for n in (5, 6)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        assert len(set(got)) == 2                        # distinct versions
+        assert t.read_chain().count() == 11              # nothing lost
