@@ -575,6 +575,57 @@ SQL_POLITENESS_BUDGET = (
     "  FROM customer) WHERE _rn <= budget")
 
 # ---------------------------------------------------------------------------
+# politeness fairness — Gini of the per-host admission allocation
+# ---------------------------------------------------------------------------
+# A politeness scheduler is a fairness policy: the budget window
+# (U8/q_politeness_budget above) caps every host, but operators need ONE
+# number telling them how skewed the resulting allocation actually is —
+# the Gini coefficient of per-host admitted counts is the standard
+# crawl-ops dashboard metric (0 = perfectly even, →1 = one host eats
+# the round). Computed with the rank formula over ascending counts:
+#   G = (2·Σᵢ i·xᵢ − (n+1)·Σᵢ xᵢ) / (n·Σᵢ xᵢ)
+# with i = 1-based rank ordered (count, host) — every term is an int64
+# product/sum, so both engines hit the identical single division at the
+# end (round 6): bit-exact cross-engine, like the PageRank fixed-point.
+#
+# Scale story: the admitted set aggregates to a HOSTS-sized count table
+# before the ranking window touches it, so the unpartitioned window —
+# normally a red flag — runs over |hosts| rows, not |urls|; at 10^10
+# URLs / 10^7 hosts that frame is MBs. The heavy stage is the groupBy,
+# which partial-aggregates map-side.
+
+
+def q_politeness_fairness(spark, sf_dir):
+    admitted = q_politeness_budget(spark, sf_dir)
+    counts = (admitted.groupBy(F.col("c_nationkey").alias("host"))
+              .agg(F.count(F.lit(1)).alias("x")))
+    w = Window.orderBy(F.col("x").asc(), F.col("host").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (ranked.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+                F.sum("x").cast("bigint").alias("admitted"),
+                F.sum(F.col("i") * F.col("x")).cast("bigint").alias("_ix"))
+            .select("n_hosts", "admitted",
+                    F.round((2 * F.col("_ix")
+                             - (F.col("n_hosts") + 1) * F.col("admitted"))
+                            / (F.col("n_hosts") * F.col("admitted")), 6)
+                    .alias("gini")))
+
+
+SQL_POLITENESS_FAIRNESS = (
+    "WITH adm AS (" + SQL_POLITENESS_BUDGET + "),"
+    " counts AS (SELECT c_nationkey AS host, CAST(count(*) AS BIGINT) AS x"
+    "            FROM adm GROUP BY c_nationkey),"
+    " ranked AS (SELECT host, x, row_number() OVER"
+    "            (ORDER BY x ASC, host ASC) AS i FROM counts)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_hosts,"
+    "  CAST(sum(x) AS BIGINT) AS admitted,"
+    "  round((2 * sum(i * x) - (count(*) + 1) * sum(x))"
+    "        / (count(*) * sum(x)), 6) AS gini"
+    " FROM ranked")
+
+
+# ---------------------------------------------------------------------------
 # crawl-trap detection — URL-pattern explosion guard
 #
 # Real crawlers must detect hosts that mint unbounded unique URLs from
@@ -904,6 +955,7 @@ REG: dict[str, tuple] = {
     "media_url_filter": (q_media_url_filter, SQL_MEDIA_URL_FILTER),
     "fetch_sim": (q_fetch_sim, SQL_FETCH_SIM),
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
+    "politeness_fairness": (q_politeness_fairness, SQL_POLITENESS_FAIRNESS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),

@@ -885,7 +885,138 @@ SQL_DSIR_WEIGHTS = (
     " FROM db JOIN lr USING (b) GROUP BY doc_id, lang")
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training — the tokenizer-training step of a data pipeline
+# ---------------------------------------------------------------------------
+# Byte-pair-encoding merge learning (Sennrich et al., ACL 2016): start
+# from characters, repeatedly merge the corpus-wide most frequent
+# adjacent symbol pair. The trainer runs at WORD-TYPE granularity — the
+# standard trick: aggregate the corpus to (word, count) once, then all
+# merge rounds operate on the vocabulary-sized type table weighted by
+# count, never re-touching the corpus. Each round is (1) adjacent-pair
+# explode + partially-aggregated groupBy (shuffle O(type-table), which
+# is ≪ corpus), (2) a 1-row deterministic top-1 (count DESC, pair ASC),
+# (3) the merge applied to every type's symbol sequence via a single
+# JVM-side `aggregate` fold that replays classic greedy left-to-right
+# BPE application: merge when the previously-emitted symbol is exactly
+# `a` and the incoming one is `b`; a symbol just produced by a merge in
+# this round never re-matches as `a` (token-exact endswith test), which
+# is precisely the "continue scanning after the replacement" contract
+# of the reference algorithm. No per-row Python anywhere; the 1-row
+# best-pair frame is crossJoin(broadcast(...)) — a literal in the
+# executor plan. Counts are int64 sums (order-independent) and the
+# picked pairs are unique keys, so both engines select the identical
+# merge chain — the DuckDB twin unrolls the same rounds with
+# list_reduce. Persists bound the O(merges²) lazy-plan recompute; at
+# real vocab counts the type table is MBs, so MEMORY_AND_DISK is safe.
+
+BPE_MERGES = 4
+
+# greedy left-to-right BPE application as a string fold over the symbol
+# array: acc is the space-joined output built so far; `pa`/`pb` are the
+# round's merge pair (outer columns). Last-token-equals-pa is tested
+# token-exactly: acc == pa, or acc ends with ' '+pa (symbols never
+# contain spaces).
+_BPE_FOLD_CASE = (
+    "CASE WHEN acc = '' THEN s"
+    " WHEN s = pb AND (acc = pa OR {endswith}) THEN"
+    "  CASE WHEN acc = pa THEN {cat}(pa, pb)"
+    "   ELSE {cat}(substr(acc, 1, {length}(acc) - {length}(pa) - 1),"
+    "        ' ', pa, pb) END"
+    " ELSE {cat}(acc, ' ', s) END")
+
+_SPARK_BPE_FOLD = (
+    "aggregate(split(seq, ' '), cast('' as string), (acc, s) -> "
+    + _BPE_FOLD_CASE.format(endswith="endswith(acc, concat(' ', pa))",
+                            cat="concat", length="length") + ")")
+
+
+def _bpe_word_types(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.expr(
+                "filter(split(lower(text), ' '),"
+                " x -> x rlike '^[a-z0-9]+$')")).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("wcnt"))
+            .select(F.expr("concat_ws(' ', regexp_extract_all(word, '.', 0))")
+                    .alias("seq"), "wcnt"))
+
+
+def _bpe_pair_counts(seqs):
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    # single-symbol sequences must short-circuit to array()
+    pairs = (
+        "CASE WHEN size(arr) < 2 THEN array() ELSE"
+        " transform(sequence(1, size(arr) - 1),"
+        "  i -> struct(element_at(arr, i) AS a,"
+        "              element_at(arr, i + 1) AS b)) END")
+    return (seqs.select(F.expr("split(seq, ' ')").alias("arr"), "wcnt")
+            .select(F.explode(F.expr(pairs)).alias("p"), "wcnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wcnt").alias("cnt")))
+
+
+def q_tokenizer_bpe_merges(spark, sf_dir):
+    """(step, a, b, merged, pair_count) for BPE_MERGES training rounds."""
+    seqs = _bpe_word_types(spark, sf_dir).persist()
+    out = None
+    for step in range(1, BPE_MERGES + 1):
+        best = (_bpe_pair_counts(seqs)
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1)
+                .select(F.lit(step).cast("bigint").alias("step"), "a", "b",
+                        F.concat("a", "b").alias("merged"),
+                        F.col("cnt").cast("bigint").alias("pair_count"))
+                .persist())
+        out = best if out is None else out.union(best)
+        if step < BPE_MERGES:
+            seqs = (seqs.crossJoin(F.broadcast(
+                        best.select(F.col("a").alias("pa"),
+                                    F.col("b").alias("pb"))))
+                    .select(F.expr(_SPARK_BPE_FOLD).alias("seq"), "wcnt")
+                    .persist())
+    return out
+
+
+_DUCK_BPE_FOLD = (
+    "list_reduce([''] || string_split(seq, ' '), (acc, s) -> "
+    + _BPE_FOLD_CASE.format(endswith="ends_with(acc, ' ' || pa)",
+                            cat="concat", length="len") + ")")
+
+
+def _duck_bpe_round(prev_s: str, n: int) -> str:
+    """CTEs p{n} (pair counts over s{prev}), b{n} (best pair), s{n}
+    (merged sequences) — mirrors one q_tokenizer_bpe_merges round."""
+    return (
+        f" p{n} AS (SELECT arr[i] AS a, arr[i + 1] AS b,"
+        f"  sum(wcnt) AS cnt"
+        f"  FROM (SELECT string_split(seq, ' ') AS arr, wcnt FROM {prev_s}),"
+        f"   LATERAL unnest(generate_series(1, len(arr) - 1)) AS u(i)"
+        f"  GROUP BY 1, 2),"
+        f" b{n} AS (SELECT CAST({n} AS BIGINT) AS step, a, b,"
+        f"  a || b AS merged, CAST(cnt AS BIGINT) AS pair_count"
+        f"  FROM p{n} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),"
+        f" s{n} AS (SELECT {_DUCK_BPE_FOLD} AS seq, wcnt"
+        f"  FROM {prev_s} CROSS JOIN (SELECT a AS pa, b AS pb FROM b{n}))")
+
+
+SQL_TOKENIZER_BPE_MERGES = (
+    "WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM"
+    "  (SELECT unnest(list_filter(string_split(lower(text), ' '),"
+    "    x -> regexp_matches(x, '^[a-z0-9]+$'))) AS word FROM documents)"
+    "  GROUP BY word),"
+    " s0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ')"
+    "  AS seq, wcnt FROM w),"
+    + ",".join(_duck_bpe_round(f"s{i - 1}", i)
+               for i in range(1, BPE_MERGES + 1)) +
+    " SELECT * FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM b{i}"
+                         for i in range(1, BPE_MERGES + 1)) + ")")
+
+
 REG: dict[str, tuple] = {
+    "tokenizer_bpe_merges": (q_tokenizer_bpe_merges,
+                             SQL_TOKENIZER_BPE_MERGES),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -395,10 +395,149 @@ SQL_MIRROR_CLUSTERS = (
     " FROM reach GROUP BY v")
 
 
+# ---------------------------------------------------------------------------
+# BFS seed distance — crawl-depth structure of the host graph
+# ---------------------------------------------------------------------------
+# A frontier's `depth` column (max-hops policy, params.max_hops) is BFS
+# distance from the seed set measured on the URL graph as the crawl
+# discovers it; this op computes the same quantity on the HOST graph
+# up front — the "how far does this crawl reach in k hops" planning
+# number (Cho & Garcia-Molina's crawl-ordering analyses report exactly
+# this seed-distance distribution). The Spark plan is the crawl loop's
+# own shape run to fixpoint: per level one join (frontier ⋈ edges,
+# keyed src) + distinct + LEFT ANTI against the visited set — the
+# identical anti-join the URL-seen filter runs per round (seen.py), so
+# its scale story is the engine's: shuffle O(frontier-edges) per level,
+# visited set bucket-partitioned, lineage cut per level with
+# localCheckpoint (the dedup.connected_components discipline). Early
+# exit when a level adds no hosts (isEmpty on the checkpointed level —
+# no extra job: the checkpoint already materialized it).
+#
+# Depths are small ints, sums never occur — cross-engine exactness is
+# free. The DuckDB twin is the textbook bounded recursive CTE with
+# min(depth) — same semantics because BFS depth IS min walk length.
+
+BFS_SEEDS = [0, 10, 20, 30, 40]
+BFS_MAX_DEPTH = 8
+
+
+def bfs_depth(spark: SparkSession, seeds: DataFrame, edges: DataFrame,
+              max_depth: int = BFS_MAX_DEPTH) -> DataFrame:
+    """seeds(host), edges(src, dst) → (host, depth): BFS distance from
+    the seed set, hosts unreachable within max_depth excluded."""
+    visited = (seeds.select("host", F.lit(0).cast("bigint").alias("depth"))
+               .localCheckpoint())
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (edges.join(frontier.select(F.col("host").alias("src")), "src")
+               .select(F.col("dst").alias("host")).distinct()
+               .join(visited.select("host"), "host", "left_anti")
+               .withColumn("depth", F.lit(d).cast("bigint"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def q_host_bfs_depth(spark, sf_dir):
+    e = host_edges(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [(int(s),) for s in BFS_SEEDS], "host bigint")
+    return bfs_depth(spark, seeds, e)
+
+
+SQL_HOST_BFS_DEPTH = (
+    "WITH RECURSIVE e AS (" + _EDGES_DUCK + "),"
+    " walk(host, depth) AS ("
+    "   SELECT * FROM (VALUES "
+    + ", ".join(f"({s}, 0)" for s in BFS_SEEDS) + ") v(host, depth)"
+    "   UNION"
+    "   SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.host"
+    f"   WHERE w.depth < {BFS_MAX_DEPTH})"
+    " SELECT CAST(host AS BIGINT) AS host,"
+    "  CAST(min(depth) AS BIGINT) AS depth"
+    " FROM walk GROUP BY host")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities — the link-centrality complement to PageRank
+# ---------------------------------------------------------------------------
+# Kleinberg's HITS (JACM 1999): auth(v) = Σ_{u→v} hub(u), hub(u) =
+# Σ_{u→v} auth(v), alternated. The textbook algorithm L2-normalizes per
+# iteration — a float reduction whose value depends on summation order,
+# which no distributed engine pins. Since only the RANKING is consumed
+# (crawl prioritization, like the PageRank prior above), the engine
+# runs the UN-normalized integer recurrence: hub_0 = 1, then
+# HITS_ITERS alternations of pure int64 sums — order-independent,
+# bit-equal across engines and partitionings, and ordinally identical
+# to normalized HITS (normalization is a positive scalar per
+# iteration). Magnitudes grow like (avg_deg)^(2·iters): ~degree⁴ at
+# iters=2 — ≪ 2^63 for any per-partition host graph this engine would
+# rank; at web scale you shard by component and rescale between
+# iterations (divide by a power of two — still exact), documented
+# rather than implemented because the fixture never needs it.
+# Plan shape per half-iteration: one broadcast-or-shuffle join keyed on
+# the host + one partial-aggregated groupBy — identical to the
+# PageRank iteration above; the rank table stays hosts-sized (tiny next
+# to the edge list), the classic BSP centrality shape.
+
+HITS_ITERS = 2
+
+
+def q_host_hits(spark, sf_dir):
+    e = host_edges(spark, sf_dir)
+    nodes = (e.select(F.col("src").alias("host"))
+             .union(e.select(F.col("dst").alias("host"))).distinct())
+    hub = nodes.select("host", F.lit(1).cast("bigint").alias("hub"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a = (e.join(hub.withColumnRenamed("host", "src"), "src")
+             .groupBy(F.col("dst").alias("host"))
+             .agg(F.sum("hub").alias("s")))
+        auth = (nodes.join(a, "host", "left")
+                .select("host", F.coalesce("s", F.lit(0)).cast("bigint")
+                        .alias("auth")))
+        h = (e.join(auth.withColumnRenamed("host", "dst"), "dst")
+             .groupBy(F.col("src").alias("host"))
+             .agg(F.sum("auth").alias("s")))
+        hub = (nodes.join(h, "host", "left")
+               .select("host", F.coalesce("s", F.lit(0)).cast("bigint")
+                       .alias("hub")))
+    return auth.join(hub, "host").select("host", "auth", "hub")
+
+
+def _hits_iter_sql(hub_prev: str, auth: str, hub: str) -> str:
+    return (
+        f" {auth} AS (SELECT n.host,"
+        f"  CAST(coalesce(s, 0) AS BIGINT) AS auth FROM nodes n"
+        f"  LEFT JOIN (SELECT e.dst AS host, sum(p.hub) AS s"
+        f"   FROM e JOIN {hub_prev} p ON e.src = p.host GROUP BY e.dst) f"
+        f"  ON n.host = f.host),"
+        f" {hub} AS (SELECT n.host,"
+        f"  CAST(coalesce(s, 0) AS BIGINT) AS hub FROM nodes n"
+        f"  LEFT JOIN (SELECT e.src AS host, sum(a.auth) AS s"
+        f"   FROM e JOIN {auth} a ON e.dst = a.host GROUP BY e.src) f"
+        f"  ON n.host = f.host)")
+
+
+SQL_HOST_HITS = (
+    "WITH e AS (" + _EDGES_DUCK + "),"
+    " nodes AS (SELECT DISTINCT src AS host FROM e"
+    "           UNION SELECT DISTINCT dst FROM e),"
+    " h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes),"
+    + _hits_iter_sql("h0", "a1", "h1") + ","
+    + _hits_iter_sql("h1", "a2", "h2") +
+    " SELECT a2.host, a2.auth, h2.hub FROM a2 JOIN h2 ON a2.host = h2.host")
+
+
 REG: dict[str, tuple] = {
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "mirror_clusters": (q_mirror_clusters, SQL_MIRROR_CLUSTERS),
     "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "anchor_text_agg": (q_anchor_text_agg, SQL_ANCHOR_TEXT_AGG),
+    "host_bfs_depth": (q_host_bfs_depth, SQL_HOST_BFS_DEPTH),
+    "host_hits": (q_host_hits, SQL_HOST_HITS),
 }
