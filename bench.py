@@ -68,7 +68,7 @@ HEADLINE = [
     "dedup_substring_spans", "host_pagerank",
     "robots_asof", "recrawl_schedule", "warc_revisit", "crawl_diff",
     "dedup_lines", "sitemap_parse", "sitemap_index_parse",
-    "fetch_latency_quantiles",
+    "fetch_latency_quantiles", "tokenizer_bpe_merges", "host_bfs_depth",
     "crawl_scheduled_2rounds",
 ]
 

@@ -205,18 +205,28 @@ _MERGED.update(CRAWL_REG)
 # AS-OF temporal-join composition) and dedup_lines (C4-style
 # sub-document corpus dedup); char_ngrams demoted too (its X5 kernel is
 # the inner stage of the still-gated ngram_pruned_vocab chain).
+# Round-4 rotation #4 (newest components in, subsumed siblings out):
+# politeness_budget demoted for politeness_fairness — the fairness
+# query RUNS the budget window as its input, so the gated row strictly
+# contains the demoted computation; top_words (A7) demoted for
+# tokenizer_bpe_merges (word_count keeps the same agg kernel gated and
+# topk_per_key keeps the ordering kernel gated; BPE merge training is a
+# new op class — iterative corpus-adaptive training); ann_ivf_topk
+# demoted for host_bfs_depth (the gated ann_ivfpq_rerank_topk chain
+# contains the identical IVF probe core; BFS is the frontier loop's own
+# level-anti-join shape as a first-class graph query).
 GATE_ORDER = [
-    "word_count", "top_words",
+    "word_count", "tokenizer_bpe_merges",
     "source_lang_freq", "first_wins_dedup",
     "topk_per_key", "class_balance", "discriminative_words",
     "ngram_pruned_vocab", "counters", "seen_anti_join", "region_members",
     "vocab_join", "url_hosts", "media_url_filter", "fetch_sim",
-    "politeness_budget", "events_sessionize", "robots_asof",
+    "politeness_fairness", "events_sessionize", "robots_asof",
     "fetch_worthy",
     "http_body_split", "distinct_users_by_type",
     "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_hamming_pairs", "ann_bruteforce_topk",
-    "ann_lsh_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "host_bfs_depth",
     "classifier_eval", "lang_id", "quality_model",
     "token_count", "doc_fingerprint", "media_png_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
