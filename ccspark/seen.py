@@ -433,3 +433,77 @@ class SeenSet:
             return versions
         finally:
             removed.unpersist()
+
+    # -- partition evolution -------------------------------------------------
+
+    def rebucket(self, new_partitions: int, round_no: int,
+                 cuckoo_buckets: int | None = None) -> dict[str, int]:
+        """Partition evolution (Iceberg's partition-spec evolution, for
+        the hash-bucketed seen layout): re-key the whole seen state from
+        P to `new_partitions` buckets and commit both tables as 'full'
+        snapshots under the new spec.
+
+        Why it must exist: bucket = pmod(xxhash64(url), P) is baked into
+        every persisted row AND into the per-bucket filter blobs, so P
+        is load-bearing — a crawl sized at 10^8 URLs (P=256 keeps blobs
+        ~MB) that grows toward 10^10 needs more buckets or per-bucket
+        filter state outgrows task memory; conversely a filter probe
+        over mostly-empty buckets wastes scheduler overhead. Evolving P
+        is a ONE-TIME O(total) job — exactly what compaction already
+        pays — instead of the fork-lift alternative (new SeenSet +
+        re-add everything, losing history and doubling storage
+        transiently).
+
+        Mechanics: resolve the exact set (tombstones applied), recompute
+        bucket under the new modulus from the already-persisted
+        url_hash (no re-hashing of URL strings), commit as kind='full'
+        (read_chain starts at the new spec — no old-bucket row can
+        leak into a resolved read), then REBUILD every filter blob per
+        new bucket with the same fold kernel add() uses (blob layouts
+        are bucket-content-derived, so nothing from the old blobs is
+        reusable). Deltas after this commit key on the new buckets;
+        time travel to pre-rebucket versions still resolves under the
+        OLD spec because resolution never mixes rows across a 'full'
+        boundary. The commit metrics record the spec change for the
+        manifest audit trail. `cuckoo_buckets` optionally resizes the
+        per-bucket cuckoo capacity in the same pass (shrinking P grows
+        keys/bucket — the two knobs move together)."""
+        assert new_partitions >= 1
+        resolved = self.seen_df()
+        assert resolved is not None, "rebucket on an empty seen set"
+        old = self.partitions
+        re_rows = (resolved.drop("bucket")
+                   .withColumn("bucket",
+                               F.pmod(F.col("url_hash"),
+                                      F.lit(new_partitions)).cast("int"))
+                   .select("url", "url_hash", "bucket", "first_round",
+                           F.lit(False).alias("deleted")))
+        self.partitions = new_partitions
+        if cuckoo_buckets is not None:
+            self.nbuck = cuckoo_buckets
+        spec = {"rebucket_from": old, "partitions": new_partitions}
+        versions = {"seen": self.seen_tbl.commit(
+            re_rows, round_no, kind="full", metrics=spec,
+            repartition=(min(new_partitions, 32), "bucket"))}
+        if not self.kind:
+            return versions
+        kind, m, k, nbuck = self._kernel_params()
+
+        def build(key, urls_pdf):
+            if len(urls_pdf) == 0:
+                return pd.DataFrame(
+                    {c: [] for c in ("bucket", "bitmap", "n")})
+            return pd.DataFrame({
+                "bucket": [key[0]],
+                "bitmap": [_fold_blob(urls_pdf["url"], None,
+                                      kind, m, k, nbuck)],
+                "n": [len(urls_pdf)]})
+
+        built = (re_rows.select("bucket", "url").groupBy("bucket")
+                 .applyInPandas(build, schema=FILTER_SCHEMA))
+        next_v = (self.filter_tbl.latest_version() or 0) + 1
+        versions[self.filter_name] = self.filter_tbl.commit(
+            built.withColumn("v", F.lit(next_v).cast("long")),
+            round_no, kind="full", metrics=spec,
+            repartition=(min(new_partitions, 64), "bucket"))
+        return versions

@@ -1,0 +1,106 @@
+"""Partition evolution (SeenSet.rebucket): re-keying the seen layout
+from P to P' buckets must preserve the exact set, rebuild the filter
+blobs under the new spec, keep filter_new semantics identical, leave
+pre-rebucket versions time-travelable under the OLD spec, and accept
+deltas under the new spec afterwards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccspark.seen import SeenSet, with_bucket
+from ccspark.tables import SnapshotStore
+
+
+def _urls(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"http://h{i % 9}.com/page{i}",) for i in range(lo, hi)],
+        "url string")
+
+
+KINDS = [
+    {"filter_kind": "cuckoo", "cuckoo_buckets": 1 << 8},
+    {"use_bloom": True, "bits_per_bucket": 1 << 12},
+    {"use_bloom": False},
+]
+
+
+class TestRebucket:
+    def _mk(self, spark, tmp_path, **kw):
+        store = SnapshotStore(spark, str(tmp_path / "st"))
+        seen = SeenSet(store, partitions=4, **kw)
+        seen.add(with_bucket(_urls(spark, 0, 60), partitions=4), 0)
+        return seen
+
+    @pytest.mark.parametrize("kw", KINDS, ids=["cuckoo", "bloom", "exact"])
+    @pytest.mark.parametrize("newp", [16, 2], ids=["grow", "shrink"])
+    def test_set_preserved_and_filter_semantics_identical(
+            self, spark, tmp_path, kw, newp):
+        seen = self._mk(spark, tmp_path, **kw)
+        before = {r.url for r in seen.seen_df().collect()}
+        versions = seen.rebucket(newp, 1)
+        assert "seen" in versions
+        assert seen.partitions == newp
+        after = seen.seen_df().collect()
+        assert {r.url for r in after} == before
+        # every row's bucket follows the NEW modulus
+        bad = (seen.seen_df()
+               .filter(F.pmod(F.col("url_hash"), F.lit(newp)).cast("int")
+                       != F.col("bucket")).count())
+        assert bad == 0
+        # filter_new under the new spec: all seen blocked, new pass
+        mixed = _urls(spark, 0, 80)  # 60 seen + 20 new
+        out = seen.filter_new(with_bucket(mixed, partitions=newp))
+        assert out.count() == 20
+        assert {r.url for r in out.collect()} == {
+            f"http://h{i % 9}.com/page{i}" for i in range(60, 80)}
+
+    @pytest.mark.parametrize("kw", KINDS[:2], ids=["cuckoo", "bloom"])
+    def test_filter_rebuilt_under_new_spec(self, spark, tmp_path, kw):
+        seen = self._mk(spark, tmp_path, **kw)
+        seen.rebucket(16, 1)
+        rows = seen._filter_df().collect()
+        assert sum(r.n for r in rows) == 60
+        assert all(0 <= r.bucket < 16 for r in rows)
+
+    def test_time_travel_reads_old_spec(self, spark, tmp_path):
+        seen = self._mk(spark, tmp_path, filter_kind="cuckoo",
+                        cuckoo_buckets=1 << 8)
+        v0 = seen.seen_tbl.latest_version()
+        seen.rebucket(16, 1)
+        old = seen.seen_df(version=v0).collect()
+        assert {r.url for r in old} == {
+            f"http://h{i % 9}.com/page{i}" for i in range(60)}
+        assert all(0 <= r.bucket < 4 for r in old)
+
+    @pytest.mark.parametrize("kw", KINDS, ids=["cuckoo", "bloom", "exact"])
+    def test_deltas_compose_after_rebucket(self, spark, tmp_path, kw):
+        """add() and remove() keep working on the evolved layout, and
+        the manifest records the spec change."""
+        seen = self._mk(spark, tmp_path, **kw)
+        versions = seen.rebucket(16, 1)
+        m = seen.seen_tbl.meta(versions["seen"])
+        assert m["kind"] == "full"
+        assert m["metrics"]["partitions"] == 16
+        assert m["metrics"]["rebucket_from"] == 4
+        new = _urls(spark, 60, 90)
+        seen.add(seen.filter_new(with_bucket(new, partitions=16)), 2)
+        assert seen.seen_df().count() == 90
+        seen.remove(_urls(spark, 0, 5), 3)
+        assert seen.seen_df().count() == 85
+        out = seen.filter_new(with_bucket(_urls(spark, 0, 90),
+                                          partitions=16))
+        assert out.count() == 5
+
+    def test_cuckoo_capacity_resize_with_shrink(self, spark, tmp_path):
+        """Shrinking P concentrates keys per bucket; the same call can
+        grow the per-bucket cuckoo capacity so the rebuild fits."""
+        seen = self._mk(spark, tmp_path, filter_kind="cuckoo",
+                        cuckoo_buckets=1 << 8)
+        seen.rebucket(1, 1, cuckoo_buckets=1 << 10)
+        assert seen.nbuck == 1 << 10
+        rows = seen._filter_df().collect()
+        assert len(rows) == 1 and rows[0].n == 60
+        assert seen.filter_new(
+            with_bucket(_urls(spark, 0, 60), partitions=1)).count() == 0
