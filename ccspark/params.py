@@ -190,6 +190,19 @@ class CrawlParams:
     #: double multiply-add per row, bit-equal cross-engine. None = off
     #: (default — reference-parity ordering unchanged).
     age_boost_pm: int | None = None
+    #: automatic seen-set partition evolution (SeenSet.rebucket in the
+    #: round loop): after each round's commit, if the resolved seen set
+    #: holds more than rebucket_target_keys × current-partition-count
+    #: rows, the bucket count DOUBLES (repeatedly, to the smallest
+    #: power-of-two multiple that restores keys/bucket ≤ target) and
+    #: both seen tables are re-committed 'full' under the new spec —
+    #: the knob that lets one engine configuration ride a crawl from
+    #: 10^6 to 10^10 URLs without per-bucket filter blobs outgrowing
+    #: task memory. Purely a layout operation: scheduled output,
+    #: ordering and the seen SET are unchanged (tested vs a no-policy
+    #: run); costs one count job per round while enabled plus the
+    #: O(total) rewrite on the rounds that actually evolve. None = off.
+    rebucket_target_keys: int | None = None
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

@@ -167,6 +167,10 @@ class CrawlEngine:
         self.seen = SeenSet(self.store, partitions=params.seen_partitions,
                             use_bloom=use_bloom, bits_per_bucket=bits_per_bucket,
                             filter_kind=filter_kind, cuckoo_buckets=cuckoo_buckets)
+        if params.rebucket_target_keys is not None:
+            # a prior run may have evolved the layout (rebucket): the
+            # persisted spec of record overrides the constructor default
+            self.seen.restore_spec()
         self.frontier_tbl = self.store.table("frontier")
         self.scheduled_tbl = self.store.table("scheduled")
         self.candidates_tbl = self.store.table("candidates")
@@ -410,8 +414,11 @@ class CrawlEngine:
 
         # new-seen count observed on the seen-delta commit's action
         obs_new = Observation()
-        newx = self.seen.filter_new(with_bucket(batch_dedup(admitted),
-                                                partitions=p.seen_partitions))
+        # bucket under the LIVE spec (self.seen.partitions, not
+        # p.seen_partitions): rebucket_target_keys may have evolved the
+        # layout since construction
+        newx = self.seen.filter_new(with_bucket(
+            batch_dedup(admitted), partitions=self.seen.partitions))
         # per-host lifetime quota (Heritrix maxDocumentsFromHost): prior
         # admissions = scheduled-chain rows + live-frontier rows (exactly
         # every URL that ever passed admission — compaction-safe: the
@@ -704,6 +711,23 @@ class CrawlEngine:
                             self.frontier_tbl):
                     tbl.expire_snapshots(p.expire_keep_last)
                     tbl.remove_orphans()
+        # automatic partition evolution (params.rebucket_target_keys):
+        # grow the bucket count when keys/bucket exceeds the target —
+        # a layout-only maintenance op AFTER the round commit (a crash
+        # here loses the evolution, never round data); the round log is
+        # RE-committed with the new 'full' versions so resume/rollback
+        # treats them as state of record, not orphans (the compaction
+        # discipline above).
+        if p.rebucket_target_keys is not None:
+            n_seen = self.seen.seen_df().count()
+            newp = self.seen.partitions
+            while n_seen > p.rebucket_target_keys * newp:
+                newp *= 2
+            if newp != self.seen.partitions:
+                rb = self.seen.rebucket(newp, r)
+                versions.update(rb)
+                m["rebucketed_to"] = newp
+                self.store.commit_round(r, versions, m, batch_id=batch_id)
         for df in ((new, frontier, sched)
                    + ((stale,) if stale is not None else ())
                    + ((fresh,) if fresh is not None else ())

@@ -150,6 +150,28 @@ class SeenSet:
 
     # -- read state ---------------------------------------------------------
 
+    def _spec(self) -> dict:
+        """The persisted layout spec (stamped into every 'full' commit's
+        metrics so it survives restarts and history GC)."""
+        return {"partitions": self.partitions, "cuckoo_buckets": self.nbuck}
+
+    def restore_spec(self) -> bool:
+        """Adopt the layout spec of record after a restart: the newest
+        manifest carrying spec metrics wins (rebucket and compaction
+        commits both stamp it). Driver-side manifest walk — no data
+        read. Returns True if a persisted spec was found."""
+        t = self.seen_tbl
+        if not t.exists():
+            return False
+        for v in sorted(t.versions(), reverse=True):
+            mm = t.meta(v).get("metrics") or {}
+            if "partitions" in mm:
+                self.partitions = int(mm["partitions"])
+                if "cuckoo_buckets" in mm:
+                    self.nbuck = int(mm["cuckoo_buckets"])
+                return True
+        return False
+
     def _chain_has_tombstones(self, version: int | None = None) -> bool:
         """Driver-side manifest scan: any tombstone delta in the live
         chain? Lets the common (no-recrawl) crawl loop keep its
@@ -204,9 +226,12 @@ class SeenSet:
         resolved = self.seen_df()
         if resolved is None:
             return None
+        # every 'full' snapshot stamps the layout spec of record, so
+        # restore_spec finds it even after history GC expires the
+        # rebucket commit itself (the chain base is always retained)
         return self.seen_tbl.commit(
             resolved.withColumn("deleted", F.lit(False)), round_no,
-            kind="full", repartition=repartition)
+            kind="full", metrics=self._spec(), repartition=repartition)
 
     def _filter_df(self) -> DataFrame | None:
         """Latest blob per bucket, resolved merge-on-read over the delta
@@ -481,7 +506,7 @@ class SeenSet:
         self.partitions = new_partitions
         if cuckoo_buckets is not None:
             self.nbuck = cuckoo_buckets
-        spec = {"rebucket_from": old, "partitions": new_partitions}
+        spec = {"rebucket_from": old, **self._spec()}
         versions = {"seen": self.seen_tbl.commit(
             re_rows, round_no, kind="full", metrics=spec,
             repartition=(min(new_partitions, 32), "bucket"))}

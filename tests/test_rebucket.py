@@ -93,6 +93,26 @@ class TestRebucket:
                                           partitions=16))
         assert out.count() == 5
 
+    def test_spec_restored_after_restart(self, spark, tmp_path):
+        """A fresh SeenSet over the same store adopts the evolved layout
+        from the persisted spec metrics (restore_spec), and compaction
+        re-stamps the spec so it survives history GC of the rebucket
+        commit itself."""
+        store = SnapshotStore(spark, str(tmp_path / "st"))
+        seen = SeenSet(store, partitions=4, filter_kind="cuckoo",
+                       cuckoo_buckets=1 << 8)
+        seen.add(with_bucket(_urls(spark, 0, 60), partitions=4), 0)
+        seen.rebucket(16, 1)
+        seen.compact_seen(2)
+        seen.seen_tbl.expire_snapshots(1)  # rebucket manifest expired
+        fresh = SeenSet(SnapshotStore(spark, str(tmp_path / "st")),
+                        partitions=4, filter_kind="cuckoo",
+                        cuckoo_buckets=1 << 8)
+        assert fresh.restore_spec()
+        assert fresh.partitions == 16
+        assert fresh.filter_new(
+            with_bucket(_urls(spark, 0, 60), partitions=16)).count() == 0
+
     def test_cuckoo_capacity_resize_with_shrink(self, spark, tmp_path):
         """Shrinking P concentrates keys per bucket; the same call can
         grow the per-bucket cuckoo capacity so the rebuild fits."""
@@ -104,3 +124,71 @@ class TestRebucket:
         assert len(rows) == 1 and rows[0].n == 60
         assert seen.filter_new(
             with_bucket(_urls(spark, 0, 60), partitions=1)).count() == 0
+
+
+class TestEngineAutoRebucket:
+    """params.rebucket_target_keys in the round loop: layout-only —
+    scheduled output and seen set identical to a no-policy run; the
+    spec evolves, is recorded in round metrics, and survives resume."""
+
+    def _run(self, spark, fx, tmp_path, name, **pkw):
+        from ccspark.params import CrawlParams
+        from ccspark.scheduler import CrawlEngine
+        eng = CrawlEngine(spark, str(tmp_path / name), fx["documents"],
+                          fx["seeds"], fx["robots"],
+                          params=CrawlParams(rounds=3, seen_partitions=2,
+                                             **pkw),
+                          filter_kind="cuckoo", cuckoo_buckets=1 << 8)
+        metrics = eng.run()
+        return eng, metrics
+
+    def test_parity_and_evolution(self, spark, fx_small, tmp_path):
+        base, _ = self._run(spark, fx_small, tmp_path, "base")
+        evo, em = self._run(spark, fx_small, tmp_path, "evo",
+                            rebucket_target_keys=20)
+        cols = ["fetch_round", "url", "priority", "depth", "surt"]
+        want = [tuple(r) for r in
+                base.scheduled_rounds().select(cols).collect()]
+        got = [tuple(r) for r in
+               evo.scheduled_rounds().select(cols).collect()]
+        assert got == want
+        b_seen = {r.url for r in base.seen.seen_df().collect()}
+        e_seen = {r.url for r in evo.seen.seen_df().collect()}
+        assert e_seen == b_seen
+        # the layout actually evolved (fixture discovers ≫ 40 URLs)
+        assert evo.seen.partitions > 2
+        assert any("rebucketed_to" in m for m in em)
+        # every persisted row follows the live modulus
+        p = evo.seen.partitions
+        assert (evo.seen.seen_df()
+                .filter(F.pmod(F.col("url_hash"), F.lit(p)).cast("int")
+                        != F.col("bucket")).count()) == 0
+
+    def test_resume_adopts_evolved_spec(self, spark, fx_small, tmp_path):
+        from ccspark.params import CrawlParams
+        from ccspark.scheduler import CrawlEngine
+        p2 = CrawlParams(rounds=2, seen_partitions=2,
+                         rebucket_target_keys=20)
+        eng = CrawlEngine(spark, str(tmp_path / "r"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"], params=p2,
+                          filter_kind="cuckoo", cuckoo_buckets=1 << 8)
+        eng.run()
+        evolved_p = eng.seen.partitions
+        assert evolved_p > 2
+        p3 = CrawlParams(rounds=3, seen_partitions=2,
+                         rebucket_target_keys=20)
+        eng2 = CrawlEngine(spark, str(tmp_path / "r"), fx_small["documents"],
+                           fx_small["seeds"], fx_small["robots"], params=p3,
+                           filter_kind="cuckoo", cuckoo_buckets=1 << 8)
+        assert eng2.seen.partitions >= evolved_p  # spec restored pre-run
+        eng2.run(resume=True)
+        # the resumed run matches an uninterrupted 3-round policy run
+        ref = CrawlEngine(spark, str(tmp_path / "ref"), fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"], params=p3,
+                          filter_kind="cuckoo", cuckoo_buckets=1 << 8)
+        ref.run()
+        cols = ["fetch_round", "url", "priority", "depth", "surt"]
+        assert ([tuple(r) for r in
+                 eng2.scheduled_rounds().select(cols).collect()]
+                == [tuple(r) for r in
+                    ref.scheduled_rounds().select(cols).collect()])
