@@ -348,3 +348,44 @@ class TestLateR4Plans:
         gk_ex = sum(1 for ln in p.splitlines()
                     if "Exchange hashpartitioning(_gk" in ln)
         assert gk_ex >= 1, p[:3000]
+
+
+class TestSession5Ops:
+    def test_bpe_pair_counts_partial_agg(self, spark):
+        """The pair-count groupBy partial-aggregates map-side (the only
+        corpus-shaped shuffle in a merge round) and the best-pair top-1
+        is a TakeOrdered, not a global sort."""
+        from ccspark import textops
+        seqs = textops._bpe_word_types(spark, SF)
+        p = phys(textops._bpe_pair_counts(seqs)
+                 .orderBy(F.col("cnt").desc(), "a", "b").limit(1))
+        assert "partial_sum" in p, p[:3000]
+        assert "TakeOrderedAndProject" in p, p[:3000]
+
+    def test_bpe_merge_apply_broadcasts_best_pair(self, spark):
+        """The 1-row merge pair enters the plan as a broadcast, never a
+        shuffle."""
+        from ccspark import textops
+        df = textops.q_tokenizer_bpe_merges(spark, SF)
+        assert "BroadcastNestedLoopJoin" in phys(df) or \
+            "BroadcastExchange" in phys(df)
+
+    def test_hits_iteration_partial_aggregates(self, spark):
+        """Each HITS half-iteration's groupBy partial-aggregates before
+        its exchange — the BSP centrality shape."""
+        from ccspark import webgraph
+        p = phys(webgraph.q_host_hits(spark, SF))
+        assert "partial_sum" in p, p[:3000]
+
+    def test_fairness_window_after_hosts_sized_agg(self, spark):
+        """The unpartitioned ranking window runs AFTER the groupBy
+        collapsed the admitted set to hosts-sized counts: the plan's
+        window sits above a HashAggregate, and the single-partition
+        exchange moves the counts, not the admissions."""
+        from ccspark import analytics as A
+        p = phys(A.q_politeness_fairness(spark, SF))
+        w = p.find("Window")
+        agg = p.find("HashAggregate")
+        assert w != -1 and agg != -1 and w < p.rfind("HashAggregate"), \
+            p[:3000]
+        assert "Exchange SinglePartition" in p, p[:3000]
