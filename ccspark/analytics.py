@@ -575,6 +575,63 @@ SQL_POLITENESS_BUDGET = (
     "  FROM customer) WHERE _rn <= budget")
 
 # ---------------------------------------------------------------------------
+# table profiling — the data-quality dashboard pass
+# ---------------------------------------------------------------------------
+# Every training-data pipeline fronts ingestion with a profiling pass
+# (null fractions, cardinalities, ranges — what Deequ/TFDV compute):
+# the numbers that catch a broken upstream export before it poisons a
+# run. ONE aggregation pass computes all per-column stats (count /
+# nulls / exact distinct / min / max for every column), then the single
+# stats row is exploded into the long (column, stat) form dashboards
+# consume — no per-column scan, no second shuffle. Exact
+# count_distinct expands to Spark's partial-distinct Expand — at 100 TB
+# swap approx_count_distinct per column (documented knob, same shape).
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("bigint")
+            .alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}_dist"),
+            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}_max")]
+    one = d.agg(*aggs)
+    entries = ", ".join(
+        f"struct('{c}' AS column, {c}_nulls AS n_null,"
+        f" {c}_dist AS n_distinct, {c}_min AS min_s, {c}_max AS max_s)"
+        for c in _PROFILE_COLS)
+    return (one.select("n_rows",
+                       F.explode(F.expr(f"array({entries})")).alias("s"))
+            .select(F.col("s.column").alias("column"), "n_rows",
+                    F.col("s.n_null").alias("n_null"),
+                    F.col("s.n_distinct").alias("n_distinct"),
+                    F.col("s.min_s").alias("min_s"),
+                    F.col("s.max_s").alias("max_s")))
+
+
+SQL_TABLE_PROFILE = (
+    "WITH one AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {c}_nulls,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS {c}_dist,"
+        f" CAST(min({c}) AS VARCHAR) AS {c}_min,"
+        f" CAST(max({c}) AS VARCHAR) AS {c}_max"
+        for c in _PROFILE_COLS)
+    + " FROM documents) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column, n_rows, {c}_nulls AS n_null,"
+        f" {c}_dist AS n_distinct, {c}_min AS min_s, {c}_max AS max_s"
+        f" FROM one"
+        for c in _PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
 # politeness fairness — Gini of the per-host admission allocation
 # ---------------------------------------------------------------------------
 # A politeness scheduler is a fairness policy: the budget window
@@ -956,6 +1013,7 @@ REG: dict[str, tuple] = {
     "fetch_sim": (q_fetch_sim, SQL_FETCH_SIM),
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
     "politeness_fairness": (q_politeness_fairness, SQL_POLITENESS_FAIRNESS),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),

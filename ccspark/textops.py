@@ -886,6 +886,51 @@ SQL_DSIR_WEIGHTS = (
 
 
 # ---------------------------------------------------------------------------
+# weighted sampling without replacement — Efraimidis-Spirakis A-Res
+# ---------------------------------------------------------------------------
+# Quality-weighted corpus subsampling (the "sample 10% of tokens,
+# favoring high-quality docs" step every data-mixing recipe runs) via
+# Efraimidis & Spirakis 2006: key_i = u_i^(1/w_i) with u_i uniform,
+# keep the k largest keys — a one-pass, distributed-friendly exact
+# WRS-without-replacement. Determinism + cross-engine exactness:
+# u = (md5-52-bit(doc) + 1) / 2^52 (hash-of-key, never rand() — the
+# corpus_split discipline), and the ORDERING key is computed in
+# integers: largest u^(1/w) ⟺ smallest −ln(u)/w, realized as
+# q = (−micro(ln u) × 10^6) div w with micro(x) = round(round(x,6)·1e6)
+# (the lang_id_nb ln-micro-unit pattern) — int64 throughout
+# (≤ 36.05e6 × 1e6 < 2^63), floor-div identical in both engines, ties
+# broken by doc_id. Plan shape: per-row expressions + ONE TakeOrdered
+# top-k — no shuffle beyond the final k rows; at 100 TB this is the
+# textbook map-side top-k (each partition keeps k candidates).
+
+WRS_K = 200
+
+
+def q_sample_weighted_topk(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    u = ("(CAST(conv(substring(md5(concat('wrs:', CAST(doc_id AS STRING))),"
+         " 1, 13), 16, 10) AS BIGINT) + 1) / 9007199254740992.0")  # 2^52
+    w = "greatest(n_chars, 1)"
+    q = (f"(-CAST(round(round(ln({u}), 6) * 1e6, 0) AS BIGINT) * 1000000)"
+         f" div {w}")
+    return (d.select("doc_id",
+                     F.expr(w).cast("bigint").alias("weight"),
+                     F.expr(q).alias("wkey"))
+            .orderBy(F.col("wkey").asc(), F.col("doc_id").asc())
+            .limit(WRS_K))
+
+
+SQL_SAMPLE_WEIGHTED_TOPK = (
+    "SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS weight,"
+    " (-CAST(round(round(ln((('0x' || substr(md5('wrs:' ||"
+    " CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)"
+    " / 9007199254740992.0), 6) * 1e6, 0) AS BIGINT) * 1000000)"
+    " // greatest(n_chars, 1) AS wkey"
+    " FROM documents"
+    f" ORDER BY wkey ASC, doc_id ASC LIMIT {WRS_K}")
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training — the tokenizer-training step of a data pipeline
 # ---------------------------------------------------------------------------
 # Byte-pair-encoding merge learning (Sennrich et al., ACL 2016): start
@@ -1015,6 +1060,8 @@ SQL_TOKENIZER_BPE_MERGES = (
 
 
 REG: dict[str, tuple] = {
+    "sample_weighted_topk": (q_sample_weighted_topk,
+                             SQL_SAMPLE_WEIGHTED_TOPK),
     "tokenizer_bpe_merges": (q_tokenizer_bpe_merges,
                              SQL_TOKENIZER_BPE_MERGES),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
