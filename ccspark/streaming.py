@@ -211,6 +211,62 @@ def discovery_sessions(spark: SparkSession, landing_dir: str,
             .agg(F.count(F.lit(1)).alias("n_candidates")))
 
 
+FETCH_RESULT_SCHEMA = ("url string, status int, content_type string, "
+                       "fetch_ms long")
+
+
+def fetch_result_stream(spark: SparkSession, results_dir: str,
+                        max_files_per_trigger: int = 10) -> DataFrame:
+    """Landing-dir stream of fetch OUTCOMES (url, status, content_type,
+    fetch_ms) — what a fetcher fleet drops as it drains the frontier
+    export; the right side of the discovery→fetch interval join."""
+    return (spark.readStream.schema(FETCH_RESULT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(results_dir))
+
+
+def candidate_fetch_join(spark: SparkSession, landing_dir: str,
+                         results_dir: str,
+                         horizon: str = "1 hour",
+                         watermark: str = "2 hours",
+                         max_files_per_trigger: int = 10) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each discovered
+    candidate matched to its fetch outcome arriving within `horizon` of
+    the discovery event — the streaming ledger of discovery→fetch
+    latency that closes the loop between the frontier export and the
+    fetcher fleet's result drops.
+
+    Both sides carry watermarks AND the join predicate carries the
+    event-time interval (fts ∈ [cts, cts + horizon]) — the two
+    conditions Spark needs to EVICT join state: a candidate's row can
+    be dropped once the result-side watermark passes cts + horizon, so
+    state holds only the in-horizon window of an unbounded crawl, never
+    its history. Without the interval bound this join would buffer
+    every candidate forever (the documented stream-stream join trap).
+    Inner join: unmatched candidates simply age out — the batch-side
+    recrawl policy (CrawlParams.recrawl_after_rounds) is the authority
+    for never-fetched URLs; this stream is the observability surface.
+    Output adds latency_ms = fetch − discovery (≥ 0 by the interval)."""
+    c = (candidate_stream(spark, landing_dir, max_files_per_trigger)
+         .withColumn("cts", F.timestamp_millis("event_ms"))
+         .filter(F.col("cts").isNotNull())
+         .withWatermark("cts", watermark)
+         .select("url_raw", "kind", "cts"))
+    r = (fetch_result_stream(spark, results_dir, max_files_per_trigger)
+         .withColumn("fts", F.timestamp_millis("fetch_ms"))
+         .filter(F.col("fts").isNotNull())
+         .withWatermark("fts", watermark))
+    return (c.join(
+                r,
+                F.expr(f"url_raw = url AND fts >= cts"
+                       f" AND fts <= cts + interval {horizon}"),
+                "inner")
+            .select("url_raw", "kind", "status", "content_type",
+                    "cts", "fts",
+                    (F.unix_millis("fts") - F.unix_millis("cts"))
+                    .alias("latency_ms")))
+
+
 def dedup_stream(spark: SparkSession, landing_dir: str,
                  watermark: str = "2 hours",
                  max_files_per_trigger: int = 10) -> DataFrame:

@@ -457,3 +457,47 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
         u, "http://other.example.com/x", "http://far.example.com/y",
         "http://mid.example.com/z", u,
     ]), got
+
+
+def _result_file(path, rows, mtime):
+    """One fetch-results parquet file of (url, status, fetch_ms)."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "url": pa.array([u for u, _, _ in rows], pa.string()),
+        "status": pa.array([s for _, s, _ in rows], pa.int32()),
+        "content_type": pa.array(["text/html"] * len(rows), pa.string()),
+        "fetch_ms": pa.array([m for _, _, m in rows], pa.int64()),
+    })
+    pq.write_table(t, str(path))
+    os.utime(str(path), (mtime, mtime))
+
+
+def test_candidate_fetch_interval_join(spark, tmp_path):
+    """Stream-stream interval join semantics, deterministically: a
+    result inside [cts, cts + horizon] matches with the right latency;
+    a result PAST the horizon does not; a never-fetched candidate emits
+    nothing (inner join)."""
+    from ccspark.streaming import candidate_fetch_join
+
+    base = 1767261600000  # 2026-01-01T10:00:00Z
+    mins = 60_000
+    cdir, rdir = tmp_path / "cand", tmp_path / "res"
+    cdir.mkdir(); rdir.mkdir()
+    _candidate_file(cdir / "f0.parquet",
+                    [("http://a.example.com/1", base),
+                     ("http://a.example.com/2", base + 5 * mins),
+                     ("http://a.example.com/3", base)], 1_700_000_000)
+    _result_file(rdir / "r0.parquet",
+                 [("http://a.example.com/1", 200, base + 10 * mins),
+                  # 90 min after discovery: OUTSIDE the 1h horizon
+                  ("http://a.example.com/2", 200, base + 95 * mins)],
+                 1_700_000_000)
+    out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+    (candidate_fetch_join(spark, str(cdir), str(rdir), horizon="1 hour")
+     .writeStream.format("parquet").option("path", out)
+     .option("checkpointLocation", ck)
+     .trigger(availableNow=True).start().awaitTermination(120))
+    got = {(r.url_raw, r.status, r.latency_ms)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("http://a.example.com/1", 200, 10 * mins)}
