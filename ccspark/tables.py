@@ -97,6 +97,12 @@ class SnapshotTable:
             "path": path,
             "files": sorted(files),
             "num_files": len(files),
+            # column set of record (Iceberg schema-tracking analog):
+            # read_chain compares these across the chain and turns on
+            # parquet schema merging ONLY when versions disagree —
+            # schema evolution without taxing the common fixed-schema
+            # read with per-file footer merges
+            "columns": list(df.columns),
             "metrics": metrics or {},
             "committed_at": time.time(),
         }
@@ -133,8 +139,19 @@ class SnapshotTable:
         for v in vs:
             if self.meta(v).get("kind") == "full":
                 base = v
-        paths = [os.path.join(self.dir, f"v{v}") for v in vs if v >= base]
-        return self.spark.read.parquet(*paths)
+        live = [v for v in vs if v >= base]
+        paths = [os.path.join(self.dir, f"v{v}") for v in live]
+        # schema evolution (Iceberg add-column semantics): when the
+        # chain's recorded column sets disagree — a later delta added a
+        # column — merge parquet schemas so earlier rows surface the new
+        # column as NULL. The common fixed-schema chain skips the merge
+        # (per-file footer reads) entirely; manifests predating column
+        # tracking read as unknown and take the safe merging path.
+        colsets = [tuple(self.meta(v).get("columns") or ()) for v in live]
+        reader = self.spark.read
+        if len(set(colsets)) > 1 or () in colsets:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def chain_base_round(self, version: int | None = None) -> int:
         """Round of the 'full' snapshot the live chain is based on
