@@ -2,7 +2,8 @@
 sitemap seeding, redirects, revisits (304), failure recrawl, max-hops,
 priority aging, per-domain politeness, per-host lifetime quota,
 adaptive delay, crawl-trap guard, PageRank prior, backpressure cap,
-content-digest dedup, compaction + snapshot GC — and the engine still reproduces the
+content-digest dedup, compaction + snapshot GC, automatic seen-set
+partition evolution — and the engine still reproduces the
 pure-Python oracle EXACTLY. This is the strongest integration artifact
 the parity claim has: any unmodeled interaction between two policies
 breaks a row somewhere in 5 rounds.
@@ -33,6 +34,11 @@ PARAMS = CrawlParams(
     compact_seen_every=2,
     expire_keep_last=4,
     content_dedup=True,
+    # partition evolution: seen_partitions=2 + a small per-bucket target
+    # forces at least one mid-crawl rebucket; layout-only, so every
+    # oracle row below must stay bit-identical
+    seen_partitions=2,
+    rebucket_target_keys=15,
 )
 
 METRIC_KEYS = ["candidates_in", "malformed_dropped", "robots_blocked",
@@ -118,3 +124,18 @@ def test_resume_after_everything(engine, oracle, fx_medium, spark):
             .select("url", "fetch_offset_ms").collect())
     assert [(r.url, r.fetch_offset_ms) for r in rows] == [
         (c["url"], c["fetch_offset_ms"]) for c in want.scheduled[5]]
+
+
+def test_rebucket_fired_and_layout_live(engine):
+    """The composed run actually evolved the seen layout (the policy
+    bound, not a silent no-op) and every persisted row follows the
+    final modulus."""
+    from pyspark.sql import functions as F
+
+    eng, metrics, _state = engine
+    assert any("rebucketed_to" in m for m in metrics)
+    assert eng.seen.partitions > 2
+    p = eng.seen.partitions
+    assert (eng.seen.seen_df()
+            .filter(F.pmod(F.col("url_hash"), F.lit(p)).cast("int")
+                    != F.col("bucket")).count()) == 0
