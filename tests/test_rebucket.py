@@ -192,3 +192,36 @@ class TestEngineAutoRebucket:
                  eng2.scheduled_rounds().select(cols).collect()]
                 == [tuple(r) for r in
                     ref.scheduled_rounds().select(cols).collect()])
+
+
+class TestRebucketProperty:
+    """Property: for ANY url multiset and any P → P' evolution, the
+    post-rebucket filter_new over (seen ∪ fresh) admits exactly the
+    fresh urls — no false negatives ever, approximations included.
+    Spark-session-per-example is too slow for hypothesis, so examples
+    are drawn once per kind and looped (the repo's crawl-property
+    idiom)."""
+
+    import itertools as _it
+
+    CASES = [
+        # (n_urls, old_p, new_p)
+        (1, 4, 16), (17, 4, 1), (64, 2, 8), (64, 8, 2), (33, 4, 4),
+    ]
+
+    @pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
+    def test_no_false_negatives_across_evolutions(self, spark, tmp_path,
+                                                  kind):
+        kw = ({"filter_kind": "cuckoo", "cuckoo_buckets": 1 << 8}
+              if kind == "cuckoo"
+              else {"use_bloom": True, "bits_per_bucket": 1 << 12})
+        for i, (n, old_p, new_p) in enumerate(self.CASES):
+            store = SnapshotStore(spark, str(tmp_path / f"st{kind}{i}"))
+            seen = SeenSet(store, partitions=old_p, **kw)
+            seen.add(with_bucket(_urls(spark, 0, n), partitions=old_p), 0)
+            seen.rebucket(new_p, 1)
+            probe = _urls(spark, 0, n + 10)
+            out = seen.filter_new(with_bucket(probe, partitions=new_p))
+            got = {r.url for r in out.collect()}
+            want = {f"http://h{j % 9}.com/page{j}" for j in range(n, n + 10)}
+            assert got == want, (kind, n, old_p, new_p)
