@@ -361,6 +361,9 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
             res.seen[c["url"]] = r
             res.frontier[c["url"]] = c
         m["new_seen"] = len(new)
+        # running seen-set cardinality (mirrors the engine's driver
+        # scalar — the rebucket trigger's input)
+        m["seen_total"] = len(res.seen)
         # U6 domain-seen (Statistics.java:54-60)
         n_dom = 0
         for c in new:

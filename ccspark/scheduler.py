@@ -167,10 +167,14 @@ class CrawlEngine:
         self.seen = SeenSet(self.store, partitions=params.seen_partitions,
                             use_bloom=use_bloom, bits_per_bucket=bits_per_bucket,
                             filter_kind=filter_kind, cuckoo_buckets=cuckoo_buckets)
-        if params.rebucket_target_keys is not None:
-            # a prior run may have evolved the layout (rebucket): the
-            # persisted spec of record overrides the constructor default
-            self.seen.restore_spec()
+        # a prior run may have evolved the layout (rebucket): the
+        # persisted spec of record overrides the constructor default.
+        # UNCONDITIONAL — a store whose layout already evolved must be
+        # probed under the evolved modulus even if the rebucket knob is
+        # off in this run's params (restore_spec is a no-op on stores
+        # that never stamped spec metrics). rollback_to_last_round
+        # re-derives it again after discarding orphan snapshots.
+        self.seen.restore_spec()
         self.frontier_tbl = self.store.table("frontier")
         self.scheduled_tbl = self.store.table("scheduled")
         self.candidates_tbl = self.store.table("candidates")
@@ -215,6 +219,13 @@ class CrawlEngine:
         self.robots = robots
         self.docs = spark.read.parquet(documents_path)
         self._prev_depth = 0  # frontier depth after the last completed round
+        # running seen-set cardinality (driver scalar, rides each
+        # round's already-observed counts — the rebucket trigger reads
+        # THIS instead of a standalone O(total) count() job). None =
+        # pre-existing store whose logs predate the metric: resolved
+        # once lazily, then maintained.
+        self._seen_total: int | None = (
+            None if self.seen.seen_tbl.exists() else 0)
 
     # -- resumability --------------------------------------------------------
 
@@ -237,12 +248,21 @@ class CrawlEngine:
             for _, t in tables:
                 t.rollback_to(0)
             self._prev_depth = 0
+            self._seen_total = 0
+            # spec adopted in __init__ may have come from a now-deleted
+            # orphan snapshot (e.g. a crash between rebucket's commits
+            # and its round-log re-commit) — re-derive from what's left
+            self.seen.rederive_spec()
             return None
         for name, tbl in tables:
             v = last["tables"].get(name)
             if v is not None:
                 tbl.rollback_to(v)
         self._prev_depth = last["metrics"]["frontier_depth"]
+        # logs that predate the seen_total metric leave None → one lazy
+        # resolve in the next round, then the running scalar takes over
+        self._seen_total = last["metrics"].get("seen_total")
+        self.seen.rederive_spec()
         return last
 
     def resume_round(self) -> tuple[int, DataFrame | None]:
@@ -490,6 +510,19 @@ class CrawlEngine:
         # post-cap + cap-dropped)
         m["dup_dropped"] = n_kept - m["new_seen"] - n_capped
         m["dedup_rate"] = (m["dup_dropped"] / n_kept) if n_kept else 0.0
+        # seen-set cardinality as driver arithmetic (like frontier_depth):
+        # total = prev − tombstoned (recrawl + revisit removals, both
+        # already observed) + new admissions. Exact because every removal
+        # targets a URL present in the resolved set (each scheduled
+        # record is consumed by at most one removal round, and a URL
+        # re-enters the scheduled chain only after re-admission). Legacy
+        # stores without the metric resolve once, then ride the scalar.
+        if self._seen_total is None:
+            self._seen_total = int(self.seen.seen_df().count())
+        else:
+            self._seen_total += (m["new_seen"] - m.get("recrawled", 0)
+                                 - m.get("revisited", 0))
+        m["seen_total"] = self._seen_total
 
         # U6: first-seen domains delta (anti-join against the domain chain)
         obs_dom = Observation()
@@ -719,7 +752,9 @@ class CrawlEngine:
         # treats them as state of record, not orphans (the compaction
         # discipline above).
         if p.rebucket_target_keys is not None:
-            n_seen = self.seen.seen_df().count()
+            # the running scalar (observed counts riding the round's own
+            # jobs) — NOT a standalone O(total) count() job per round
+            n_seen = self._seen_total
             newp = self.seen.partitions
             while n_seen > p.rebucket_target_keys * newp:
                 newp *= 2

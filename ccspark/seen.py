@@ -147,6 +147,10 @@ class SeenSet:
         self.filter_name = filter_kind or "bloom"
         self.filter_tbl = store.table(self.filter_name)
         self.bloom_tbl = self.filter_tbl  # back-compat alias
+        # constructor-time layout, the fallback when no persisted spec
+        # survives (rederive_spec after a rollback discards any spec
+        # adopted from a since-rolled-back rebucket snapshot)
+        self._ctor_spec = (partitions, cuckoo_buckets)
 
     # -- read state ---------------------------------------------------------
 
@@ -171,6 +175,18 @@ class SeenSet:
                     self.nbuck = int(mm["cuckoo_buckets"])
                 return True
         return False
+
+    def rederive_spec(self) -> bool:
+        """restore_spec with a clean slate: reset to the constructor
+        layout first, THEN adopt whatever spec the (post-rollback)
+        manifests of record carry. Called after rollback_to_last_round —
+        a spec adopted in __init__ may have come from an orphaned
+        rebucket snapshot the rollback just deleted, and keeping it
+        would bucket candidates under a modulus the persisted rows and
+        filter blobs don't use (false-negative probes, duplicate
+        admissions). Returns True if a persisted spec was found."""
+        self.partitions, self.nbuck = self._ctor_spec
+        return self.restore_spec()
 
     def _chain_has_tombstones(self, version: int | None = None) -> bool:
         """Driver-side manifest scan: any tombstone delta in the live

@@ -522,14 +522,25 @@ def _hits_iter_sql(hub_prev: str, auth: str, hub: str) -> str:
         f"  ON n.host = f.host)")
 
 
-SQL_HOST_HITS = (
-    "WITH e AS (" + _EDGES_DUCK + "),"
-    " nodes AS (SELECT DISTINCT src AS host FROM e"
-    "           UNION SELECT DISTINCT dst FROM e),"
-    " h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes),"
-    + _hits_iter_sql("h0", "a1", "h1") + ","
-    + _hits_iter_sql("h1", "a2", "h2") +
-    " SELECT a2.host, a2.auth, h2.hub FROM a2 JOIN h2 ON a2.host = h2.host")
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """DuckDB twin generated from HITS_ITERS (the BPE twin's
+    loop-generated-SQL discipline) so bumping the constant can never
+    desync the oracle from the Spark loop."""
+    ctes = "".join(
+        _hits_iter_sql(f"h{i}", f"a{i + 1}", f"h{i + 1}") + ","
+        for i in range(iters))
+    return (
+        "WITH e AS (" + _EDGES_DUCK + "),"
+        " nodes AS (SELECT DISTINCT src AS host FROM e"
+        "           UNION SELECT DISTINCT dst FROM e),"
+        " h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes),"
+        + ctes.rstrip(",") +
+        f" SELECT a{iters}.host, a{iters}.auth, h{iters}.hub"
+        f" FROM a{iters} JOIN h{iters}"
+        f" ON a{iters}.host = h{iters}.host")
+
+
+SQL_HOST_HITS = _hits_sql()
 
 
 REG: dict[str, tuple] = {

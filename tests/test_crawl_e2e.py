@@ -12,8 +12,8 @@ from ccspark.scheduler import CrawlEngine
 PARAMS = CrawlParams(rounds=3)
 
 METRIC_KEYS = ["candidates_in", "malformed_dropped", "robots_blocked",
-               "dup_dropped", "new_seen", "new_domains", "scheduled",
-               "frontier_depth", "pages_discovered"]
+               "dup_dropped", "new_seen", "seen_total", "new_domains",
+               "scheduled", "frontier_depth", "pages_discovered"]
 
 
 def _run_engine(spark, fx, tmp_path, name, **kw):

@@ -225,3 +225,101 @@ class TestRebucketProperty:
             got = {r.url for r in out.collect()}
             want = {f"http://h{j % 9}.com/page{j}" for j in range(n, n + 10)}
             assert got == want, (kind, n, old_p, new_p)
+
+
+class TestRollbackSpecRederive:
+    """ADVICE r5: (1) a crash BETWEEN rebucket's table commits and the
+    round-log re-commit leaves orphan snapshots carrying the new spec;
+    __init__'s restore_spec adopts them, rollback deletes them — the
+    engine must re-derive the spec AFTER rollback or it probes the old
+    layout under the new modulus (false-negative filter probes →
+    duplicate admissions). (2) restore_spec must run even when
+    rebucket_target_keys is off, so a store whose layout already
+    evolved resumes under the evolved modulus with any config."""
+
+    def _mk(self, spark, fx, path, **pkw):
+        from ccspark.params import CrawlParams
+        from ccspark.scheduler import CrawlEngine
+        return CrawlEngine(spark, path, fx["documents"], fx["seeds"],
+                           fx["robots"],
+                           params=CrawlParams(rounds=3, seen_partitions=2,
+                                              **pkw),
+                           filter_kind="cuckoo", cuckoo_buckets=1 << 8)
+
+    def test_resume_discards_orphan_rebucket_spec(self, spark, fx_small,
+                                                  tmp_path):
+        eng = self._mk(spark, fx_small, str(tmp_path / "r"))
+        eng.run()
+        spec_of_record = eng.seen.partitions
+        # simulate the crash window: rebucket committed its snapshots
+        # (spec metrics stamped) but the round-log re-commit never ran
+        eng.seen.rebucket(64, 99)
+        # a fresh engine adopts the orphan spec in __init__ ...
+        eng2 = self._mk(spark, fx_small, str(tmp_path / "r"))
+        assert eng2.seen.partitions == 64
+        # ... and must drop it again once rollback discards the orphans
+        eng2.rollback_to_last_round()
+        assert eng2.seen.partitions == spec_of_record
+        # post-rollback probes stay correct: every previously-seen URL
+        # is filtered (no duplicate admissions through a wrong modulus)
+        seen_urls = eng2.seen.seen_df().select("url")
+        out = eng2.seen.filter_new(
+            with_bucket(seen_urls, partitions=eng2.seen.partitions))
+        assert out.count() == 0
+
+    def test_restore_spec_without_rebucket_knob(self, spark, fx_small,
+                                                tmp_path):
+        evo = self._mk(spark, fx_small, str(tmp_path / "e"),
+                       rebucket_target_keys=20)
+        evo.run()
+        evolved_p = evo.seen.partitions
+        assert evolved_p > 2
+        # re-open WITHOUT the knob: constructor says 2 buckets but the
+        # persisted layout of record must win unconditionally
+        eng2 = self._mk(spark, fx_small, str(tmp_path / "e"))
+        assert eng2.seen.partitions == evolved_p
+        seen_urls = eng2.seen.seen_df().select("url")
+        out = eng2.seen.filter_new(
+            with_bucket(seen_urls, partitions=eng2.seen.partitions))
+        assert out.count() == 0
+
+
+class TestRebucketTriggerCost:
+    """VERDICT r4 #6: the auto-rebucket trigger reads the running
+    seen_total scalar (observed counts riding the round's own jobs) —
+    enabling the policy must not add a standalone count() job when no
+    evolution fires."""
+
+    def _round_jobs(self, spark, fx, tmp_path, name, **pkw):
+        from ccspark.params import CrawlParams
+        from ccspark.scheduler import CrawlEngine
+        eng = CrawlEngine(spark, str(tmp_path / name), fx["documents"],
+                          fx["seeds"], fx["robots"],
+                          params=CrawlParams(rounds=2, seen_partitions=2,
+                                             **pkw),
+                          filter_kind="cuckoo", cuckoo_buckets=1 << 8)
+        sc = spark.sparkContext
+        sc.setJobGroup(name, name)
+        try:
+            metrics = eng.run()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(name)), metrics
+
+    def test_trigger_adds_no_jobs(self, spark, fx_small, tmp_path):
+        base_jobs, base_m = self._round_jobs(spark, fx_small, tmp_path,
+                                             "nopol")
+        # target high enough that no rebucket fires: job count must be
+        # IDENTICAL to the policy-off run
+        pol_jobs, pol_m = self._round_jobs(spark, fx_small, tmp_path,
+                                           "pol", rebucket_target_keys=10**9)
+        assert pol_jobs == base_jobs
+        assert not any("rebucketed_to" in m for m in pol_m)
+        # and the scalar the trigger reads equals the resolved set
+        from ccspark.oracle import run_oracle
+        from ccspark.params import CrawlParams
+        want = run_oracle(fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"],
+                          CrawlParams(rounds=2, seen_partitions=2))
+        for g, w in zip(pol_m, want.metrics):
+            assert g["seen_total"] == w["seen_total"]
