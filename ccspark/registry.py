@@ -215,16 +215,46 @@ _MERGED.update(CRAWL_REG)
 # demoted for host_bfs_depth (the gated ann_ivfpq_rerank_topk chain
 # contains the identical IVF probe core; BFS is the frontier loop's own
 # level-anti-join shape as a first-class graph query).
+# Round-5 rotation #5 (the session-5 components under the hard signal;
+# every demotion a strict subsumption, all still exact-verified by
+# tests/test_queries_oracle.py):
+#   source_lang_freq → table_profile: the groupBy-count kernel stays
+#     gated via word_count (A1) and the documents-table aggregation
+#     surface is now gated through the strictly wider per-column
+#     rollup (nulls/distinct/min/max × every profiled column);
+#   counters → sample_weighted_topk: counters' conditional-sum agg
+#     shape is the same single-agg kernel word_count/quality_model keep
+#     gated, and A12's production form (Observations riding commit
+#     actions) is pinned by the pyoracle round-metric parity tests;
+#     weighted top-k sampling (Efraimidis-Spirakis in int64) is a new
+#     op class under the gate;
+#   region_members → mirror_clusters: region_members and vocab_join are
+#     the two broadcast-semi-join twins — vocab_join keeps the kernel
+#     gated; mirror detection (shared-digest resemblance + cluster
+#     labeling) is the webgraph layer's newest surface;
+#   fetch_worthy → dsir_weights: fetch_worthy = the gated fetch_sim
+#     composed with a status/length predicate and the gated
+#     media_url_filter regex — strictly contained; DSIR importance
+#     weights put the LLM-pipeline resampling math under the gate;
+#   http_body_split → host_hits: the CRLFCRLF header/body split runs
+#     inside the gated warc_ingest chain (the WARC response-record
+#     reader parses the identical header block before every gated
+#     ingest count); HITS joins the gated PageRank/BFS graph family;
+#   dedup_simhash → semantic_dedup: q_simhash_hamming_pairs (gated)
+#     CALLS q_dedup_simhash as its input stage — the signature kernel
+#     is verbatim contained; SemDeDup (IVF-cell-bounded embedding
+#     dedup) is the similarity layer's newest component.
 GATE_ORDER = [
     "word_count", "tokenizer_bpe_merges",
-    "source_lang_freq", "first_wins_dedup",
+    "table_profile", "first_wins_dedup",
     "topk_per_key", "class_balance", "discriminative_words",
-    "ngram_pruned_vocab", "counters", "seen_anti_join", "region_members",
+    "ngram_pruned_vocab", "sample_weighted_topk", "seen_anti_join",
+    "mirror_clusters",
     "vocab_join", "url_hosts", "media_url_filter", "fetch_sim",
     "politeness_fairness", "events_sessionize", "robots_asof",
-    "fetch_worthy",
-    "http_body_split", "distinct_users_by_type",
-    "span_extract", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dsir_weights",
+    "host_hits", "distinct_users_by_type",
+    "span_extract", "dedup_exact", "dedup_minhash_lsh", "semantic_dedup",
     "simhash_hamming_pairs", "ann_bruteforce_topk",
     "ann_lsh_topk", "host_bfs_depth",
     "classifier_eval", "lang_id", "quality_model",
