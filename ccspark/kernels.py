@@ -606,3 +606,78 @@ def url_ngrams_one(s: str, nmin: int = MIN_NGRAM_SIZE, nmax: int = MAX_NGRAM_SIZ
             for i in range(L - size + 1):
                 out.add(item[i:i + size].lower())
     return out
+
+
+# --------------------------------------------------------------------------
+# dual-model priority arbitration (ProcessingService.java:200-222):
+# classifier 1 = an n-gram model over the URL string, classifier 2 = the
+# 23-feature model; if they agree the shared class wins, else the model
+# with the larger confidence margin — n-gram-favored by ε = 0.05
+# (`|d1[0]-d1[1]| + 0.05 > |d2[0]-d2[1]|`). The engine's deterministic
+# stand-ins (same spirit as FEATURE_WEIGHTS replacing the two
+# RandomForests, for reproducible ordering): classifier 1 scores the
+# url_ngrams_one gram set against a fixed gram→weight table; classifier
+# 2 is the existing priority scorer thresholded at 0.5. Margins map a
+# score distance to Weka's |p0−p1| via tanh (the exact two-class
+# logistic identity |p0−p1| = |tanh(Δlogit/2)|), rounded to 6 dp so the
+# float is stable across engines and the pure-Python oracle.
+# --------------------------------------------------------------------------
+
+DUAL_EPSILON = 0.05  # ProcessingService.java:219
+
+#: fixed n-gram evidence weights (gram → weight); grams are matched
+#: against the url_ngrams_one set (extension already stripped — these
+#: target name/path content, not the suffix the feature model sees)
+NGRAM_WEIGHTS: dict[str, float] = {
+    "img": 0.60, "image": 0.70, "photo": 0.70, "picture": 0.65,
+    "pics": 0.50, "media": 0.40, "video": 0.50, "static": 0.20,
+    "upload": 0.45, "full": 0.30, "large": 0.40, "orig": 0.45,
+    "thumb": -0.60, "icon": -0.70, "logo": -0.50, "sprite": -0.60,
+    "button": -0.55, "pixel": -0.65, "css": -0.80, "badge": -0.45,
+}
+
+_NGRAM_WEIGHT_ORDER = sorted(NGRAM_WEIGHTS)  # fixed summation order
+
+
+def ngram_score_one(url: str) -> float:
+    """Classifier-1 score: left-to-right sum of matched gram weights in
+    fixed lexicographic gram order (never set-iteration order), so the
+    float is identical across engines, batches and the oracle."""
+    grams = url_ngrams_one(url if url is not None else "")
+    acc = 0.0
+    for g in _NGRAM_WEIGHT_ORDER:
+        if g in grams:
+            acc += NGRAM_WEIGHTS[g]
+    return acc
+
+
+def dual_model_big_one(url: str, priority: float) -> bool:
+    """The reference arbitration, verbatim over the two deterministic
+    scores: class = score above the model's decision boundary (0 for
+    the n-gram sum, 0.5 for the priority scorer)."""
+    import math
+    s1 = ngram_score_one(url)
+    c1 = s1 > 0.0
+    c2 = priority > 0.5
+    if c1 == c2:
+        return c1
+    d1 = round(abs(math.tanh(s1)), 6)
+    d2 = round(abs(math.tanh(priority - 0.5)), 6)
+    return c1 if d1 + DUAL_EPSILON > d2 else c2
+
+
+def dual_model_big_batch(urls: pd.Series, priorities: pd.Series) -> pd.Series:
+    """Vectorized-enough batch form for the Arrow UDF: gram scores are
+    computed once per DISTINCT url (crawl batches repeat URLs heavily),
+    the arbitration itself is branch-free numpy."""
+    codes, uniques = pd.factorize(urls.fillna(""))
+    s1_vals = np.array([ngram_score_one(u) for u in uniques],
+                       dtype=np.float64) if len(uniques) else np.zeros(0)
+    s1 = s1_vals[codes.clip(min=0)] if len(uniques) else np.zeros(len(urls))
+    pri = priorities.fillna(0.0).to_numpy(dtype=np.float64)
+    c1 = s1 > 0.0
+    c2 = pri > 0.5
+    d1 = np.round(np.abs(np.tanh(s1)), 6)
+    d2 = np.round(np.abs(np.tanh(pri - 0.5)), 6)
+    out = np.where(c1 == c2, c1, np.where(d1 + DUAL_EPSILON > d2, c1, c2))
+    return pd.Series(out.astype(bool), index=urls.index)

@@ -420,9 +420,23 @@ def run_oracle(documents_path: str, seeds_path: str, robots_path: str,
         if params.age_boost_pm is not None:
             _f = params.age_boost_pm / 1000.0
 
+            def _base(c):
+                return c["priority"] + (r - c["depth"]) * _f
+        else:
+            def _base(c):
+                return c["priority"]
+        if params.dual_model_priority:
+            # dual-model arbitration ordering (mirrors run_round's
+            # dual_big_udf boost): (base + 1000.0) in that exact float
+            # op order when the reference arbitration says big
             def sched_key(c):
-                return (-(c["priority"] + (r - c["depth"]) * _f),
-                        c["depth"], c["surt"], c["url"])
+                eff = _base(c)
+                if K.dual_model_big_one(c["url"], c["priority"]):
+                    eff = eff + 1000.0
+                return (-eff, c["depth"], c["surt"], c["url"])
+        elif params.age_boost_pm is not None:
+            def sched_key(c):
+                return (-_base(c), c["depth"], c["surt"], c["url"])
         else:
             sched_key = order_key
         scheduled = []

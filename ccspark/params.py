@@ -203,6 +203,19 @@ class CrawlParams:
     #: run); costs one count job per round while enabled plus the
     #: O(total) rewrite on the rounds that actually evolve. None = off.
     rebucket_target_keys: int | None = None
+    #: dual-model priority arbitration (ProcessingService.java:200-222
+    #: parity): when on, scheduling order consults a SECOND deterministic
+    #: scorer — the n-gram model over the URL string
+    #: (kernels.ngram_score_one, the ngramsClass analog) — arbitrated
+    #: against the 23-feature priority scorer by the reference's exact
+    #: agreement / confidence-margin rule (`|d1[0]-d1[1]| + 0.05 >
+    #: |d2[0]-d2[1]|` → trust the n-gram model). Arbitration-big URLs
+    #: schedule first (a +1000.0 effective-priority boost, composing
+    #: with age_boost_pm like the aging view: an ordering-only policy —
+    #: persisted priority columns and all recorded tables unchanged).
+    #: Pure-Python oracle mirrors the identical float path. Default OFF —
+    #: reference-parity ordering unchanged.
+    dual_model_priority: bool = False
 
 
 #: Total frontier order (SURVEY.md U13): priority DESC, then depth, surt, url.

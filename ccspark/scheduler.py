@@ -31,7 +31,8 @@ from .politeness import (order_cols, robots_admission_filter,
                          with_fetch_offsets)
 from .seen import SeenSet, with_bucket
 from .tables import SnapshotStore
-from .udfs import canon_udf, host_udf, normalize_udf, priority_udf, surt_udf
+from .udfs import (canon_udf, dual_big_udf, host_udf, normalize_udf,
+                   priority_udf, surt_udf)
 
 CANDIDATE_SCHEMA = T.StructType([
     T.StructField("url_raw", T.StringType()),
@@ -584,6 +585,19 @@ class CrawlEngine:
             sched_in = frontier.withColumn(
                 "_eff", F.col("priority")
                 + (F.lit(r) - F.col("depth")) * F.lit(p.age_boost_pm / 1000.0))
+            pri_col = "_eff"
+        # dual-model arbitration ordering (ProcessingService.java:200-222
+        # parity, params.dual_model_priority): arbitration-big URLs
+        # schedule first via a +1000.0 effective-priority boost over the
+        # (possibly aged) base — ordering view only, persisted priority
+        # untouched; composes with aging in that op order (oracle
+        # mirrors (base + 1000.0) exactly). One Arrow UDF over the
+        # scheduling input; off by default.
+        if p.dual_model_priority:
+            sched_in = sched_in.withColumn(
+                "_eff", F.col(pri_col)
+                + F.when(dual_big_udf(F.col("url"), F.col("priority")),
+                         F.lit(1000.0)).otherwise(F.lit(0.0)))
             pri_col = "_eff"
 
         # grouped politeness (per-IP address group or per-registered-

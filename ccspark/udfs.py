@@ -59,6 +59,13 @@ def url_ngrams_udf(urls: pd.Series) -> pd.Series:
     return urls.fillna("").map(lambda u: sorted(K.url_ngrams_one(u)))
 
 
+@F.pandas_udf(T.BooleanType())
+def dual_big_udf(urls: pd.Series, priorities: pd.Series) -> pd.Series:
+    """Dual-model arbitration (ProcessingService.java:200-222): n-gram
+    scorer vs the 23-feature priority, agreement else margin rule."""
+    return K.dual_model_big_batch(urls, priorities)
+
+
 CANON_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("host", T.StringType()),
