@@ -15,9 +15,9 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from . import (analytics, cdx, content, dedup, htmlspans, incremental,
-               multimodal, recrawl, scrub, sharding, similarity, sitemap,
-               textops, vlad, warc, webgraph)
+from . import (analytics, cdx, content, dedup, dualmodel, htmlspans,
+               incremental, multimodal, recrawl, scrub, sharding, similarity,
+               sitemap, textops, vlad, warc, webgraph)
 from .extract import extract_links, tag_like_counts
 from .fixtures import fixture_for_sf
 from .params import CrawlParams
@@ -152,8 +152,8 @@ CRAWL_REG = {
 # ---------------------------------------------------------------------------
 
 _MERGED: dict[str, tuple] = {}
-for mod in (analytics, cdx, content, dedup, incremental, similarity, textops,
-            multimodal, warc,
+for mod in (analytics, cdx, content, dedup, dualmodel, incremental,
+            similarity, textops, multimodal, warc,
             htmlspans, vlad, scrub, webgraph, recrawl, sitemap, sharding):
     overlap = _MERGED.keys() & mod.REG.keys()
     assert not overlap, f"duplicate query names: {overlap}"
@@ -243,7 +243,14 @@ _MERGED.update(CRAWL_REG)
 #   dedup_simhash → semantic_dedup: q_simhash_hamming_pairs (gated)
 #     CALLS q_dedup_simhash as its input stage — the signature kernel
 #     is verbatim contained; SemDeDup (IVF-cell-bounded embedding
-#     dedup) is the similarity layer's newest component.
+#     dedup) is the similarity layer's newest component;
+#   classifier_eval → dual_model_eval (r5, U11 closure): the same
+#     FakeArffCreator confusion/F1 arithmetic, evaluated over the
+#     reference's ACTUAL two-classifier arbitration
+#     (ProcessingService.java:200-222: gram-NB vs feature-NB, agreement
+#     else ε-margin rule) with both models trained distributively —
+#     strictly wider than classifier_eval's single fixed-projection
+#     decision through the identical eval formula.
 GATE_ORDER = [
     "word_count", "tokenizer_bpe_merges",
     "table_profile", "first_wins_dedup",
@@ -257,7 +264,7 @@ GATE_ORDER = [
     "span_extract", "dedup_exact", "dedup_minhash_lsh", "semantic_dedup",
     "simhash_hamming_pairs", "ann_bruteforce_topk",
     "ann_lsh_topk", "host_bfs_depth",
-    "classifier_eval", "lang_id", "quality_model",
+    "dual_model_eval", "lang_id", "quality_model",
     "token_count", "doc_fingerprint", "media_png_decode",
     "warc_ingest_tag_count", "wet_ingest_word_count",
     "wat_ingest_server_count", "html_to_spans",
