@@ -228,10 +228,14 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 def decode_media(payload: bytes) -> np.ndarray:
     """Dispatch a binary payload to the matching real decoder by magic
-    bytes. PNG and WAV decode for real in-container; other containers
-    (JPEG/WebP/MP4...) are where a native library slots in."""
+    bytes. PNG, baseline JPEG and WAV decode for real in-container;
+    remaining containers (WebP/MP4/progressive JPEG...) are where a
+    native library slots in."""
     if payload[:8] == PNG_SIG:
         return png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import jpeg_decode
+        return jpeg_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return wav_decode(payload)[0]
     raise NotImplementedError(

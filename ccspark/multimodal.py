@@ -187,6 +187,60 @@ SQL_MEDIA_PNG_RESIZE = (
     " FROM tp GROUP BY doc_id")
 
 
+def synth_jpeg_blocks(doc_id: int) -> np.ndarray:
+    """Block-constant synthesis for the JPEG oracle: every 8×8 block of
+    each channel holds one value from a closed-form formula, so the
+    baseline-DCT round-trip is BIT-EXACT (jpegcodec module docstring:
+    AC quantizes to 0, DC step 8 preserves the level-shifted value) and
+    the DuckDB twin states decoded stats from the formula directly."""
+    w, h = 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 2)
+    bi = np.arange(h // 8, dtype=np.int64)[:, None, None]
+    bj = np.arange(w // 8, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    blocks = (doc_id * 37 + bi * 17 + bj * 29 + ch * 53) % 256
+    return np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+
+
+def q_media_jpeg_decode(spark, sf_dir):
+    """Real baseline-JPEG decode (jpegcodec: marker walk, stream-parsed
+    DQT/DHT, Huffman + DC-prediction entropy decode with byte
+    unstuffing, dequantize, IDCT): synthesize genuine JFIF bytes per
+    document, decode them with the in-repo codec, and emit stats OF THE
+    DECODED PIXELS. On the block-constant profile the round-trip is
+    exact, so any codec defect (table parsing, Huffman walk, zigzag,
+    IDCT, MCU raster) breaks the value hash against the formula twin."""
+    from .jpegcodec import jpeg_decode, jpeg_encode
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                arr = jpeg_decode(jpeg_encode(synth_jpeg_blocks(int(doc_id))))
+                out.append((int(doc_id), arr.shape[1], arr.shape[0],
+                            int(arr.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pix_sum"])
+
+    return docs.mapInPandas(
+        decode, schema="doc_id bigint, width bigint, height bigint, "
+                       "pix_sum bigint")
+
+
+SQL_MEDIA_JPEG_DECODE = (
+    "WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh"
+    "           FROM documents),"
+    " px AS (SELECT doc_id, bw, bh,"
+    "   (doc_id*37 + bi.bi*17 + bj.bj*29 + ch.ch*53) % 256 AS p"
+    "   FROM d,"
+    "   LATERAL (SELECT unnest(generate_series(0, bh-1)) AS bi) bi,"
+    "   LATERAL (SELECT unnest(generate_series(0, bw-1)) AS bj) bj,"
+    "   LATERAL (SELECT unnest(generate_series(0, 2)) AS ch) ch)"
+    " SELECT doc_id, 8 * bw AS width, 8 * bh AS height,"
+    "  CAST(64 * SUM(p) AS BIGINT) AS pix_sum"
+    " FROM px GROUP BY doc_id, bw, bh")
+
+
 def q_media_wav_features(spark, sf_dir):
     """Real audio decode: synthesize RIFF/WAV PCM16 bytes per document
     (stdlib wave), decode them back, and compute features of the DECODED
@@ -372,6 +426,7 @@ REG: dict[str, tuple] = {
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_png_decode": (q_media_png_decode, SQL_MEDIA_PNG_DECODE),
+    "media_jpeg_decode": (q_media_jpeg_decode, SQL_MEDIA_JPEG_DECODE),
     "media_png_hist": (q_media_png_hist, SQL_MEDIA_PNG_HIST),
     "media_png_resize": (q_media_png_resize, SQL_MEDIA_PNG_RESIZE),
     "media_wav_features": (q_media_wav_features, SQL_MEDIA_WAV_FEATURES),

@@ -104,5 +104,10 @@ def test_dispatch():
     assert np.array_equal(decode_media(png_encode(img)), img)
     s = synth_samples(3)
     assert np.array_equal(decode_media(wav_encode(s)), s)
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG now decodes for real (jpegcodec); a jpeg-shaped
+    # payload with broken framing is a ValueError, not the native gate
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0 jpeg-ish payload")
+    # the native-decoder gate now starts at WebP/MP4-class containers
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
