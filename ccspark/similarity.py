@@ -473,7 +473,13 @@ SQL_CLASSIFIER_EVAL = (
 # Only the LUT uses raw query vectors.
 # ---------------------------------------------------------------------------
 
-PQ_M = 16
+# r5: PQ_M 16 → 32 (2-dim subspaces, 32 B/vector — the documented
+# 32-byte code budget, still 16× under the raw 512-byte vector).
+# Measured ADC-only recall@5 ladder at sf0.1 vs brute force:
+# 16×256 iters=2 = 0.58 (r4) → 16×256 iters=5 = 0.64 (Lloyd headroom
+# exhausted at 16 B) → **32×256 iters=2 = 0.80** (target ≥0.7 met);
+# re-rank recall unchanged at 0.94 (the IVF probe-coverage ceiling).
+PQ_M = 32
 PQ_DSUB = EMB_DIM // PQ_M
 PQ_K = 256
 PQ_ITERS = 2
@@ -577,7 +583,7 @@ def _pq_codes(spark, sf_dir, sub: DataFrame | None = None,
               cb: DataFrame | None = None) -> DataFrame:
     """(vec_id, m, code): nearest trained codeword per RESIDUAL subspace
     — the PQ_M-small-ints-per-doc compressed representation
-    (16 bytes/vector at PQ_M=16 × 8-bit codes — 32× under the raw
+    (32 bytes/vector at PQ_M=32 × 8-bit codes — 16× under the raw
     512-byte float64 vector)."""
     if sub is None:
         sub = _residual_subvectors(spark, sf_dir, _assign_df(spark, sf_dir))
@@ -618,7 +624,7 @@ def _pq_codes_shared(spark, sf_dir, sub, cb):
     index a serving deployment stores, and the frame every search query
     probes. Without the persist the ADC plan re-runs the full 8.2M-pair
     nearest-codeword assignment per consumer (measured ~2.5 s/run at
-    sf0.1); the codes table itself is 16 bytes/vector."""
+    sf0.1); the codes table itself is 32 bytes/vector."""
     return _pq_codes(spark, sf_dir, sub, cb).persist()
 
 
