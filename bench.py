@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_lines", "sitemap_parse", "sitemap_index_parse",
     "fetch_latency_quantiles", "tokenizer_bpe_merges", "host_bfs_depth",
     "crawl_scheduled_2rounds",
+    "media_jpeg_decode", "dual_model_eval", "host_hits",
 ]
 
 # Quiet-window raw-CPU throughput per pinned proc count (Mops/s) —
@@ -907,18 +908,107 @@ def _fmt3(v) -> str:
     return f"{v:.3f}" if isinstance(v, (int, float)) else "n/a"
 
 
+#: standing gated record of record (BASELINE.md "Latest measured
+#: record"): a regenerated BENCH.md must keep stating ONE number in
+#: both documents. A new run whose gate-satisfied headline beats this
+#: becomes the new record — update BOTH this constant and BASELINE.md.
+RECORD_EFF = 0.889
+RECORD_NOTE = ("sequential gated, session 2026-08-21, 4/10 accepted "
+               "pairs; per-level walls in BASELINE.md")
+
+
+def _aux_evidence_sections() -> list:
+    """r5 measured-evidence sections carried through every BENCH.md
+    regeneration, summarized from their JSON artifacts when present
+    (BENCH_rebucket_sf1.json — the sf1 auto-rebucket run;
+    SOAK_r05.json — the 10-round all-policies soak)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    try:
+        d = json.load(open(os.path.join(here, "BENCH_rebucket_sf1.json")))
+        evo = d["evo"]
+        evs = ", ".join(f"round {e['round']} → {e['to_partitions']}"
+                        for e in evo["evolutions"])
+        out += [
+            "## sf1 scale-decade run: auto partition evolution under "
+            "bench load (r5)",
+            "",
+            f"BENCH_rebucket_sf1.json (scripts/bench_rebucket_sf1.py): "
+            f"{d['per_round'] * d['rounds']:,} synthetic candidates "
+            f"({d['rounds']} rounds × {d['per_round']:,}) through the "
+            f"FULL stateful engine loop with rebucket_target_keys="
+            f"{d['target_keys_per_bucket']:,}, start spec "
+            f"{d['start_partitions']} buckets. In-place evolutions fired "
+            f"live mid-crawl: {evs}; endpoint "
+            f"{evo['rounds'][-1]['seen_total']:,}-key seen set under "
+            f"{evo['final_partitions']} buckets, "
+            f"{evo['misbucketed_rows']} rows mis-bucketed under the "
+            "final modulus (full-table audit). Layout-only invariant at "
+            "bench scale: scheduled output "
+            f"({evo['scheduled_total']:,} URLs) is count- AND "
+            "checksum-identical to the policy-OFF run "
+            f"(scheduled_equal={d['scheduled_equal']}); total wall "
+            f"{evo['total_wall_s']} s vs {d['base']['total_wall_s']} s "
+            "policy-off — the O(total) rewrites amortized over the "
+            "crawl; the per-round trigger is free (rides the seen_total "
+            "metric scalar; jobs/round unchanged, test_rebucket).",
+            "",
+        ]
+    except (OSError, KeyError, ValueError):
+        pass
+    try:
+        d = json.load(open(os.path.join(here, "SOAK_r05.json")))
+        out += [
+            "## 10-round soak: long-horizon resumable operation (r5)",
+            "",
+            f"SOAK_r05.json (scripts/soak_10round.py — assertions raise "
+            "on violation, so a green run IS the evidence): "
+            f"{d['rounds']} rounds with EVERY optional policy on "
+            "(kitchen-sink composition incl. revisit, failure recrawl, "
+            "compaction, snapshot GC, auto-rebucket, dual-model "
+            f"ordering): pyoracle-exact scheduled rows at all "
+            f"{d['pyoracle_exact_rounds']} rounds, round-log integrity, "
+            "bounded chains (versions/table "
+            f"{d['versions_per_table']}; expire_keep_last GC held), "
+            f"per-round walls {d['walls_s']} (head avg "
+            f"{d['head_avg_s']} s, tail avg {d['tail_avg_s']} s), "
+            f"auto-rebucket fired at rounds {d['rebucket_rounds']} "
+            f"(final spec {d['final_seen_partitions']} buckets).",
+            "",
+        ]
+    except (OSError, KeyError, ValueError):
+        pass
+    return out
+
+
 def _write_bench_md(r: dict, t_base: float,
                     base_ts: list, full_ts: list) -> None:
     ctl = r["cpu_control_mops"]
     ctl_base = ctl[str(r["base_cores"])]
     ctl_full = ctl[str(r["full_cores"])]
     ctl_eff = ctl_full / (ctl_base * r["full_cores"] / r["base_cores"])
+    this_gated = (r["scaling_efficiency"]
+                  if r.get("window_gate", {}).get("gate_satisfied") else None)
+    if this_gated is not None and this_gated > RECORD_EFF:
+        record_line = (
+            f"**RECORD OF RECORD — scaling efficiency (N→4N): "
+            f"{this_gated:.3f}, window gate satisfied (THIS run — update "
+            "BASELINE.md 'Latest measured record' and bench.py "
+            "RECORD_EFF to match).**")
+    else:
+        record_line = (
+            f"**RECORD OF RECORD — scaling efficiency (N→4N): "
+            f"{RECORD_EFF} ({RECORD_NOTE}).** BASELINE.md states the "
+            "same number from the same session; the run below is this "
+            "round's re-measurement under the identical gate.")
     lines = [
         "# BENCH — measured in-sandbox (protocol: BASELINE.md)",
         "",
         f"North metric: URLs scheduled/sec, scheduling pipeline over "
         f"{r['urls_scheduled']:,} scheduled of {N_URLS:,} synthetic frontier "
         "candidates (ccspark.benchflow; zipf-skewed hosts, 8% relative URLs).",
+        "",
+        record_line,
         "",
         f"Methodology (matched-window pairing): one long-lived pinned "
         f"session per level, {2 * ROUNDS} alternated (base, full) run "
@@ -1119,16 +1209,18 @@ def _write_bench_md(r: dict, t_base: float,
         f"IVF probe **{r['ivf_recall_at_k']}** (deterministic "
         "3-iteration spherical k-means coarse quantizer, NPROBE=2 of 16 "
         f"cells); IVFADC **{r['ivfpq_recall_at_k']}** (same coarse "
-        "path + 16×256-code product quantization over the COARSE RESIDUAL "
-        "nv − ĉ(cell) — r4 change, the reference's IndexingManager "
-        "design; 16 bytes/vector — 32× compression — removes the "
-        "raw-vector memory wall at 100 TB); IVFADC + exact re-rank "
+        "path + 32×256-code product quantization over the COARSE RESIDUAL "
+        "nv − ĉ(cell) — r5: PQ_M 16→32, 2-dim subspaces; 32 bytes/vector "
+        "— 16× compression, still removing the raw-vector memory wall at "
+        "100 TB. Measured r5 ladder: 16×256 iters=2 = 0.58 → 16×256 "
+        "iters=5 = 0.64 → 32×256 iters=2 = 0.80, clearing the ≥0.7 "
+        "ADC-only target); IVFADC + exact re-rank "
         f"**{r['ivfpq_rerank_recall_at_k']}** (ADC shortlist of 32·k "
-        "= 160 candidates — still narrower than the ~245-vector probe "
-        "sets, so PQ does real filtering — raw vectors touched only for "
+        "= 160 candidates — raw vectors touched only for "
         "those rows: recovers the IVF probe-coverage ceiling at PQ "
         "memory cost, the standard serving pattern).",
         "",
+    ] + _aux_evidence_sections() + [
         f"Headline query wall-times at sf{r['sf']} on local[{CPUS}] "
         "(min of interleaved passes; all runs listed — single samples "
         "on this host are uninterpretable, see r2's 19.6 s vs 71.1 s "
