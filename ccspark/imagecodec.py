@@ -80,26 +80,50 @@ def _filter_row(raw: np.ndarray, prior: np.ndarray, ftype: int) -> np.ndarray:
     return ((raw - pred) % 256).astype(np.uint8)
 
 
-def png_encode(img: np.ndarray) -> bytes:
+#: Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step)
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _serialize_pass(sub: np.ndarray) -> list:
+    """Filtered scanline stream for one (sub-)image, filter type cycling
+    row % 5 so every pass exercises the full filter spec."""
+    hp, wp, _ = sub.shape
+    flat = sub.reshape(hp, wp * _BPP).astype(np.int16)
+    lines = []
+    prior = np.zeros(wp * _BPP, dtype=np.int16)
+    for r in range(hp):
+        ftype = r % 5
+        lines.append(bytes([ftype]))
+        lines.append(_filter_row(flat[r], prior, ftype).tobytes())
+        prior = flat[r]
+    return lines
+
+
+def png_encode(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real PNG byte string.
 
     Filter choice cycles row_index % 5 through all five filter types, so
     any decoder of these bytes must implement the full filter spec —
     which is the point: the pipeline's decode stage is verified against
     genuinely filtered scanlines, not a filter-0-only shortcut.
+
+    interlace=True emits Adam7 (RFC 2083 §2.6): seven sub-images, each
+    with its own independently filtered scanline stream (empty passes
+    contribute no bytes, per spec).
     """
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("png_encode expects (h, w, 3) uint8")
     h, w, _ = img.shape
-    flat = img.reshape(h, w * _BPP).astype(np.int16)
-    lines = []
-    prior = np.zeros(w * _BPP, dtype=np.int16)
-    for r in range(h):
-        ftype = r % 5
-        lines.append(bytes([ftype]))
-        lines.append(_filter_row(flat[r], prior, ftype).tobytes())
-        prior = flat[r]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy in ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _serialize_pass(sub)
+    else:
+        lines = _serialize_pass(img)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (PNG_SIG
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
@@ -180,12 +204,40 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("corrupt PNG: missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (depth, ctype, comp, filt) != (8, 2, 0, 0) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG profile unsupported by the stdlib decoder "
             f"(depth={depth}, color={ctype}, interlace={interlace}); "
             f"production decodes this via a native library")
     raw = zlib.decompress(b"".join(idat))
+    if interlace == 1:
+        # Adam7 (r5, closing the last PNG gate): each of the seven
+        # passes is its own independently filtered sub-image; decoded
+        # pixels scatter back onto the pass grid
+        img = np.zeros((h, w, _BPP), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7:
+            hp = -(-(h - y0) // dy) if h > y0 else 0
+            wp = -(-(w - x0) // dx) if w > x0 else 0
+            if hp == 0 or wp == 0:
+                continue
+            stride = wp * _BPP
+            sub = np.zeros((hp, stride), dtype=np.int16)
+            prior = np.zeros(stride, dtype=np.int16)
+            for r in range(hp):
+                if pos + 1 + stride > len(raw):
+                    raise ValueError("corrupt PNG: bad decompressed length")
+                ftype = raw[pos]
+                line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                                     offset=pos + 1).astype(np.int16)
+                prior = _unfilter_row(line, prior, ftype)
+                sub[r] = prior
+                pos += 1 + stride
+            img[y0::dy, x0::dx] = (
+                sub.astype(np.uint8).reshape(hp, wp, _BPP))
+        if pos != len(raw):
+            raise ValueError("corrupt PNG: bad decompressed length")
+        return img
     stride = w * _BPP
     if len(raw) != h * (1 + stride):
         raise ValueError("corrupt PNG: bad decompressed length")

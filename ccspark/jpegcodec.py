@@ -11,7 +11,9 @@ DQT/DHT segment parsing (tables come from the STREAM, not hardcoded),
 byte-stuffed entropy data. Everything else — progressive (SOF2),
 subsampled MCUs, arithmetic coding, restart markers, 12-bit — raises
 NotImplementedError: the honest gate where libjpeg-turbo takes over in
-production (same contract as the PNG decoder's Adam7 gate).
+production (the same honest-gate contract the PNG decoder uses
+for paletted/16-bit profiles; Adam7 interlace itself decodes for real
+as of r5).
 
 Color: the codec encodes/decodes raw component planes and leaves the
 YCbCr↔RGB transform to the caller (Adobe-style RGB JPEGs do the same);

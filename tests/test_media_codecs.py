@@ -91,6 +91,34 @@ def test_unsupported_profile_raises():
         png_decode(data)
 
 
+def test_adam7_roundtrip_exact():
+    """Adam7 interlacing (r5): every pass shape class — degenerate rows/
+    cols, sub-8 images where later passes are empty, multiples of 8 —
+    round-trips bit-exactly, and decodes identically to the plain
+    encoding of the same pixels."""
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (1, 9), (9, 1), (3, 5), (7, 7), (8, 8),
+                  (13, 21), (40, 33)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        dec = png_decode(png_encode(img, interlace=True))
+        assert np.array_equal(dec, img), shape
+        assert np.array_equal(png_decode(png_encode(img)), dec), shape
+
+
+def test_adam7_truncated_stream_raises():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = png_encode(img, interlace=True)
+    # rebuild with a truncated IDAT payload: framing intact, stream short
+    raw = zlib.decompress(data[data.find(b"IDAT") + 4:
+                               data.rfind(b"IEND") - 4])
+    bad = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 1))
+           + _chunk(b"IDAT", zlib.compress(raw[:-10]))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        png_decode(bad)
+
+
 def test_wav_roundtrip_and_features():
     s = synth_samples(42)
     v, rate = wav_decode(wav_encode(s, framerate=16000))
