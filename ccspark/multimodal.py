@@ -85,11 +85,16 @@ _PX_CTE = (
 
 def _decode_batches(batches: Iterator[pd.DataFrame]):
     """Shared encode→REAL-decode loop: yields (doc_id, decoded array).
-    The encode side cycles all five PNG filter types (imagecodec), so
-    every document exercises the full unfilter spec."""
+    The encode side cycles all five PNG filter types (imagecodec), and
+    odd doc_ids encode Adam7-INTERLACED (r5) — so every document
+    exercises the full unfilter spec and half the corpus exercises the
+    seven-pass de-interlacer, all against the same pixel-formula oracle
+    (lossless: the twin SQL is unchanged)."""
     for pdf in batches:
         for doc_id in pdf["doc_id"].astype("int64"):
-            yield int(doc_id), png_decode(png_encode(synth_image(int(doc_id))))
+            i = int(doc_id)
+            yield i, png_decode(
+                png_encode(synth_image(i), interlace=bool(i % 2)))
 
 
 def q_media_png_decode(spark, sf_dir):
