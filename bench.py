@@ -912,9 +912,10 @@ def _fmt3(v) -> str:
 #: record"): a regenerated BENCH.md must keep stating ONE number in
 #: both documents. A new run whose gate-satisfied headline beats this
 #: becomes the new record — update BOTH this constant and BASELINE.md.
-RECORD_EFF = 0.889
-RECORD_NOTE = ("sequential gated, session 2026-08-21, 4/10 accepted "
-               "pairs; per-level walls in BASELINE.md")
+RECORD_EFF = 0.949
+RECORD_NOTE = ("sequential gated, r5 session 2026-08-21, 4/6 accepted "
+               "pairs — BENCH_local_r05.json; per-level walls in "
+               "BASELINE.md")
 
 
 def _aux_evidence_sections() -> list:
