@@ -3,7 +3,7 @@ sitemap seeding, redirects, revisits (304), failure recrawl, max-hops,
 priority aging, per-domain politeness, per-host lifetime quota,
 adaptive delay, crawl-trap guard, PageRank prior, backpressure cap,
 content-digest dedup, compaction + snapshot GC, automatic seen-set
-partition evolution — and the engine still reproduces the
+partition evolution, dual-model arbitration ordering — and the engine still reproduces the
 pure-Python oracle EXACTLY. This is the strongest integration artifact
 the parity claim has: any unmodeled interaction between two policies
 breaks a row somewhere in 5 rounds.
@@ -39,6 +39,9 @@ PARAMS = CrawlParams(
     # oracle row below must stay bit-identical
     seen_partitions=2,
     rebucket_target_keys=15,
+    # r5: the 16th policy — dual-model arbitration ordering
+    # (ProcessingService.java:200-222 parity), composed with aging
+    dual_model_priority=True,
 )
 
 METRIC_KEYS = ["candidates_in", "malformed_dropped", "robots_blocked",
