@@ -632,6 +632,73 @@ SQL_TABLE_PROFILE = (
 
 
 # ---------------------------------------------------------------------------
+# heavy hitters — two-pass distributed Misra-Gries candidates + exact
+# verification (the "novel sketch" class the engine's scale brief asks
+# for; reference analog: the hot-host frequency multisets of
+# Statistics.java:62-95 at cardinalities where an exact global groupBy
+# of EVERY key is the bottleneck)
+# ---------------------------------------------------------------------------
+# Output contract (exact, SQL-twin-checkable): every word whose global
+# count C satisfies C · HH_M > n (n = total words). Soundness: a
+# per-partition Misra-Gries summary with HH_M counters retains any key
+# with partition count > n_p/HH_M (batched trim subtracts the
+# (m+1)-th-largest value from all counters, so total decrement D obeys
+# D·(HH_M+1) ≤ n_p → D < n_p/HH_M); if C > n/HH_M = Σ n_p/HH_M then
+# C_p > n_p/HH_M in at least one partition, so the candidate union has
+# NO false negatives under ANY partitioning (property-tested). Pass 2
+# exact-counts ONLY the candidates (broadcast semi-join), so the
+# global shuffle carries candidate rows — O(n · |heavies|/|keys|) —
+# never the full distinct-key cardinality: the point of the sketch at
+# 10^10 keys. Per-partition totals ride the same pass-1 scan as
+# sentinel rows (word = '', a value the tokenizer can never emit), so
+# the threshold denominator costs no extra scan.
+
+HH_M = 64  # Misra-Gries counters per partition → threshold n/64
+
+
+def _mg_partition(batches):
+    """One partition's Misra-Gries summary: batched counter update
+    (pandas value_counts per Arrow batch — the Python loop touches
+    BATCH-UNIQUE keys, never rows) + trim-to-m by subtracting the
+    (m+1)-th largest count from every counter."""
+    counters: dict = {}
+    n_p = 0
+    for pdf in batches:
+        vc = pdf["word"].value_counts()
+        n_p += int(vc.sum())
+        for wrd, c in vc.items():
+            counters[wrd] = counters.get(wrd, 0) + int(c)
+        if len(counters) > HH_M:
+            cut = sorted(counters.values(), reverse=True)[HH_M]
+            counters = {k: v - cut for k, v in counters.items() if v > cut}
+    import pandas as pd
+    rows = [(wrd, 0) for wrd in counters] + [("", n_p)]
+    yield pd.DataFrame(rows, columns=["word", "n_p"])
+
+
+def q_heavy_hitters(spark, sf_dir):
+    words = words_df(spark, sf_dir).select("word")
+    summary = words.mapInPandas(
+        _mg_partition, schema="word string, n_p long").cache()
+    n_total = (summary.filter(F.col("word") == "")
+               .agg(F.coalesce(F.sum("n_p"), F.lit(0)).alias("n")))
+    cands = summary.filter(F.col("word") != "").select("word").distinct()
+    exact = (words.join(F.broadcast(cands), "word", "left_semi")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    return (exact.crossJoin(F.broadcast(n_total))
+            .filter(F.col("cnt") * HH_M > F.col("n"))
+            .select("word", "cnt"))
+
+
+SQL_HEAVY_HITTERS = (
+    f"WITH w AS ({WORDS_NONEMPTY}),"
+    " tot AS (SELECT count(*) AS n FROM w)"
+    " SELECT word, CAST(count(*) AS BIGINT) AS cnt"
+    " FROM w CROSS JOIN tot GROUP BY word, n"
+    f" HAVING count(*) * {HH_M} > n")
+
+
+# ---------------------------------------------------------------------------
 # politeness fairness — Gini of the per-host admission allocation
 # ---------------------------------------------------------------------------
 # A politeness scheduler is a fairness policy: the budget window
@@ -1014,6 +1081,7 @@ REG: dict[str, tuple] = {
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
     "politeness_fairness": (q_politeness_fairness, SQL_POLITENESS_FAIRNESS),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),

@@ -307,3 +307,45 @@ class TestSemanticDedup:
                      emb(spark, sf_dir).select("vec_id").collect()}
         assert kept == originals
         assert not any(v >= _SEM_COPY_OFF for v in kept)
+
+
+class TestHeavyHitters:
+    """Misra-Gries candidate soundness: for ANY partitioning of a
+    skewed corpus, the two-pass heavy-hitter output equals the exact
+    over-threshold set (the union of per-partition summaries can have
+    no false negatives — analytics.py proof sketch)."""
+
+    def test_no_false_negatives_any_partitioning(self, spark, tmp_path):
+        import collections
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ccspark.analytics import HH_M, q_heavy_hitters
+
+        rng = np.random.default_rng(3)
+        # zipf-ish corpus: a few hot words + a long uniform tail
+        words = (["hot%d" % i for i in range(5) for _ in range(800 - 120 * i)]
+                 + ["w%d" % int(x) for x in rng.integers(0, 4000, 6000)])
+        rng.shuffle(words)
+        text = " ".join(words)
+        docs = spark.createDataFrame(
+            [(i, text_part, "en", "s", len(text_part))
+             for i, text_part in enumerate(
+                 " ".join(words[j:j + 500]) for j in range(0, len(words), 500))],
+            "doc_id long, text string, lang string, source string, n_chars long")
+        sf = str(tmp_path / "hh")
+        docs.write.parquet(sf + "/documents.parquet")
+
+        counts = collections.Counter(words)
+        n = len(words)
+        want = sorted((w, c) for w, c in counts.items() if c * HH_M > n)
+        assert want, "fixture must contain true heavy hitters"
+        for parts in (1, 3, 16):
+            got = sorted(
+                (r.word, r.cnt)
+                for r in q_heavy_hitters(spark, sf).collect())
+            assert got == want, parts
+            # re-write with a different physical partitioning each time
+            docs = docs.repartition(parts, F.col("doc_id"))
+            docs.write.mode("overwrite").parquet(sf + "/documents.parquet")
