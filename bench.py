@@ -71,6 +71,7 @@ HEADLINE = [
     "fetch_latency_quantiles", "tokenizer_bpe_merges", "host_bfs_depth",
     "crawl_scheduled_2rounds",
     "media_jpeg_decode", "dual_model_eval", "host_hits",
+    "heavy_hitters",
 ]
 
 # Quiet-window raw-CPU throughput per pinned proc count (Mops/s) —
