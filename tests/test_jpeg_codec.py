@@ -107,3 +107,29 @@ class TestGates:
     def test_dispatch(self):
         img = synth_jpeg_blocks(3)
         assert np.array_equal(decode_media(jpeg_encode(img)), img)
+
+
+class TestFuzz:
+    def test_corrupted_streams_raise_cleanly(self):
+        """Byte-flip fuzz: a mangled stream must either still decode to
+        the right SHAPE (JPEG has no payload CRC — bit flips in entropy
+        data legitimately decode to different pixels) or raise one of
+        the decoder's structured error types — never hang, never return
+        garbage shapes, never escape with an unrelated exception."""
+        rng = np.random.default_rng(7)
+        img = _rand((24, 16, 3), seed=9)
+        data = bytearray(jpeg_encode(img))
+        ok, raised = 0, 0
+        for _ in range(120):
+            d = bytearray(data)
+            for _ in range(rng.integers(1, 4)):
+                d[rng.integers(2, len(d) - 2)] ^= 1 << rng.integers(0, 8)
+            try:
+                out = jpeg_decode(bytes(d))
+                assert out.shape[2] == 3 and out.dtype == np.uint8
+                ok += 1
+            except (ValueError, NotImplementedError, KeyError,
+                    IndexError, struct.error, OverflowError):
+                raised += 1
+        assert ok + raised == 120
+        assert raised > 0  # structural corruption is actually detected
