@@ -82,3 +82,68 @@ def test_zero_budget_host_schedules_nothing(spark, fx_small, tmp_path):
     metrics = eng.run()
     assert metrics[0]["scheduled"] == 0
     assert metrics[0]["frontier_depth"] == metrics[0]["new_seen"]
+
+
+class TestCrashPointMatrix:
+    """Resumability under a crash at EVERY commit boundary inside a
+    round (north_rule: 'resumable from snapshot checkpoints'). The
+    round commits its tables in order seen → bloom → domains →
+    scheduled → frontier → candidates, then writes the round log. For
+    each prefix k we synthesize 'crashed after the k-th commit': the
+    round-2 log is deleted and every table AFTER the crash point is
+    rolled back to its round-1 version, leaving the prefix as orphan
+    snapshots. Resume must discard the orphans, re-run round 2, and
+    reproduce the pure-Python oracle EXACTLY."""
+
+    ORDER = ["seen", "bloom", "domains", "scheduled", "frontier",
+             "candidates"]
+
+    def test_resume_exact_after_crash_at_every_boundary(
+            self, spark, fx_small, tmp_path):
+        import json
+        import os
+        import shutil
+
+        from ccspark.oracle import run_oracle
+        from ccspark.params import CrawlParams
+        from ccspark.scheduler import CrawlEngine
+
+        params = CrawlParams(rounds=3)
+        want = run_oracle(fx_small["documents"], fx_small["seeds"],
+                          fx_small["robots"], params)
+        base = str(tmp_path / "base")
+        eng = CrawlEngine(spark, base, fx_small["documents"],
+                          fx_small["seeds"], fx_small["robots"],
+                          params=params)
+        eng.run()
+        r1 = json.load(open(os.path.join(base, "_rounds", "r1.json")))
+
+        for k in range(1, len(self.ORDER) + 1):
+            state = str(tmp_path / f"crash{k}")
+            shutil.copytree(base, state)
+            os.remove(os.path.join(state, "_rounds", "r2.json"))
+            eng_k = CrawlEngine(spark, state, fx_small["documents"],
+                                fx_small["seeds"], fx_small["robots"],
+                                params=params)
+            # roll the post-crash tables back to their round-1 versions;
+            # the first k stay at round-2 versions = orphan snapshots
+            for name in self.ORDER[k:]:
+                v = r1["tables"].get(name)
+                if v is not None:
+                    eng_k.store.table(name).rollback_to(v)
+            eng_k.run(resume=True)
+            rows = (eng_k.scheduled_rounds()
+                    .select("fetch_round", "url", "priority",
+                            "fetch_offset_ms").collect())
+            got = {}
+            for row in rows:
+                got.setdefault(row.fetch_round, []).append(
+                    (row.url, row.priority, row.fetch_offset_ms))
+            for r, w in enumerate(want.scheduled):
+                assert got.get(r, []) == [
+                    (c["url"], c["priority"], c["fetch_offset_ms"])
+                    for c in w], f"crash point {k}, round {r}"
+            seen = {row.url: row.first_round for row in
+                    eng_k.seen.seen_df().select("url", "first_round")
+                    .collect()}
+            assert seen == want.seen, f"crash point {k}"
