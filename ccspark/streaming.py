@@ -290,3 +290,64 @@ def dedup_stream(spark: SparkSession, landing_dir: str,
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["url_raw"])
             .unionByName(withts.filter(F.col("ts").isNull())))
+
+
+def heavy_hitter_stream(words: DataFrame, m: int | None = None,
+                        n_groups: int = 8) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter sketch — the continuous twin
+    of analytics.q_heavy_hitters' pass 1, as a custom stateful operator
+    (applyInPandasWithState).
+
+    Words hash-route to one of `n_groups` sketch groups
+    (grp = pmod(xxhash64(word), G)), so every word's entire stream
+    lands in exactly ONE group's state; the group keeps an m-counter
+    Misra-Gries summary plus its running word total n_g. Soundness is
+    therefore STRONGER than the batch per-partition argument: a word
+    with global count C > n/m has C_g = C > n/m ≥ n_g/m in its home
+    group, so it survives that group's summary — no false negatives,
+    ever (equivalence-tested against the batch operator). Each trigger
+    the updated groups re-emit their full current summary tagged with
+    n_g; n_g is monotone per group, so the consumer takes each group's
+    max-n_g emission as the summary of record and exact-verifies the
+    candidate union exactly like the batch pass 2.
+
+    State is O(n_groups × m) counters — constant — checkpointed by
+    Spark; at web scale n_groups rises with executor count and the
+    per-trigger emission stays G·m tiny rows. `words` must carry a
+    `word` column.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .analytics import HH_M
+    m = m or HH_M
+
+    routed = words.withColumn(
+        "grp", F.pmod(F.xxhash64("word"), F.lit(n_groups)))
+
+    def sketcher(key, pdf_iter, state):
+        if state.exists:
+            ws, cs, n_g = state.get
+            counters = dict(zip(ws, cs))
+        else:
+            counters, n_g = {}, 0
+        for pdf in pdf_iter:
+            vc = pdf["word"].value_counts()
+            n_g += int(vc.sum())
+            for wrd, c in vc.items():
+                counters[wrd] = counters.get(wrd, 0) + int(c)
+            if len(counters) > m:
+                cut = sorted(counters.values(), reverse=True)[m]
+                counters = {k: v - cut
+                            for k, v in counters.items() if v > cut}
+        state.update((list(counters), [int(v) for v in counters.values()],
+                      n_g))
+        yield pd.DataFrame(
+            {"grp": key[0], "word": list(counters),
+             "est": [int(v) for v in counters.values()], "n_g": n_g})
+
+    return (routed.groupBy("grp")
+            .applyInPandasWithState(
+                sketcher,
+                "grp long, word string, est long, n_g long",
+                "word array<string>, est array<long>, n long",
+                "append", GroupStateTimeout.NoTimeout))

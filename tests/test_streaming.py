@@ -501,3 +501,59 @@ def test_candidate_fetch_interval_join(spark, tmp_path):
     got = {(r.url_raw, r.status, r.latency_ms)
            for r in spark.read.parquet(out).collect()}
     assert got == {("http://a.example.com/1", 200, 10 * mins)}
+
+
+def test_heavy_hitter_stream_equals_batch(spark, tmp_path):
+    """Streaming Misra-Gries (heavy_hitter_stream) ≡ batch heavy
+    hitters: candidates from each group's final summary, exact-verified
+    against the full corpus, must equal the exact over-threshold set —
+    across multi-trigger arrival (one file per micro-batch)."""
+    import collections
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccspark.analytics import HH_M
+    from ccspark.streaming import heavy_hitter_stream
+
+    rng = np.random.default_rng(5)
+    words = (["hot%d" % i for i in range(4) for _ in range(600 - 110 * i)]
+             + ["t%d" % int(x) for x in rng.integers(0, 3000, 4000)])
+    rng.shuffle(words)
+    d = tmp_path / "hh_landing"
+    d.mkdir()
+    # three arrival files = three micro-batches
+    third = len(words) // 3
+    for i in range(3):
+        chunk = words[i * third: (i + 1) * third if i < 2 else len(words)]
+        spark.createDataFrame([(w,) for w in chunk], "word string") \
+            .coalesce(1).write.parquet(str(d / f"f{i}.parquet"))
+
+    stream = (spark.readStream.schema("word string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d) + "/*.parquet"))
+    q = (heavy_hitter_stream(stream)
+         .writeStream.format("memory").queryName("hh_stream")
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from hh_stream").collect()
+    # summary of record per group = its max-n_g (latest) emission
+    last_ng = {}
+    for r in rows:
+        last_ng[r.grp] = max(last_ng.get(r.grp, 0), r.n_g)
+    n_total = sum(last_ng.values())
+    cands = {r.word for r in rows if r.n_g == last_ng[r.grp]}
+
+    counts = collections.Counter(words)
+    want = sorted((w, c) for w, c in counts.items()
+                  if c * HH_M > len(words))
+    assert want, "fixture must contain heavies"
+    assert n_total == len(words)
+    # no false negatives in the candidate union
+    assert {w for w, _ in want} <= cands
+    # exact verification pass reproduces the batch contract exactly
+    got = sorted((w, c) for w, c in counts.items()
+                 if w in cands and c * HH_M > len(words))
+    assert got == want
