@@ -516,8 +516,16 @@ class CrawlEngine:
         # already observed) + new admissions. Exact because every removal
         # targets a URL present in the resolved set (each scheduled
         # record is consumed by at most one removal round, and a URL
-        # re-enters the scheduled chain only after re-admission). Legacy
-        # stores without the metric resolve once, then ride the scalar.
+        # re-enters the scheduled chain only after re-admission), and
+        # because recrawl (non-2xx/304) and revisit (200/304) target
+        # DISJOINT urls under the deterministic fetchsim bands. Under
+        # the production HTTP fetcher a url whose status flipped between
+        # rounds could be removed by both paths in one round, drifting
+        # this scalar low by 1 per such event — consumers are the
+        # rebucket trigger (layout-only; a slightly early evolution) and
+        # the metric itself, never correctness; an exact re-sync is one
+        # seen_df().count() away if an operator wants it. Legacy stores
+        # without the metric resolve once, then ride the scalar.
         if self._seen_total is None:
             self._seen_total = int(self.seen.seen_df().count())
         else:
