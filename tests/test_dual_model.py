@@ -128,3 +128,25 @@ class TestEnginePyoracleParity:
         for r, w in enumerate(want.scheduled):
             assert got.get(r, []) == [
                 (c["url"], c["fetch_offset_ms"]) for c in w]
+
+
+class TestMarginIdentity:
+    def test_tanh_identity_matches_direct_probabilities(self):
+        """The margin recipe |p0−p1| = |tanh(Δlogit/2)| written
+        overflow-stable as 1 − 2/(exp(|Δ|)+1) (ccspark.dualmodel)
+        must equal the direct softmax computation to float precision,
+        and saturate to exactly 1.0 for huge gaps instead of NaN."""
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        for _ in range(200):
+            s0, s1 = rng.normal(0, 5, 2)
+            p1 = 1.0 / (1.0 + math.exp(s0 - s1))
+            direct = abs((1.0 - p1) - p1)
+            stable = 1.0 - 2.0 / (math.exp(abs(s1 - s0)) + 1.0)
+            assert abs(direct - stable) < 1e-12
+        # saturation: the engines' exp saturates to +inf for huge gaps
+        # (numpy/Spark/DuckDB semantics — Python's math.exp raises
+        # instead) and the expression collapses to exactly 1.0
+        with np.errstate(over="ignore"):
+            assert 1.0 - 2.0 / (float(np.exp(8000.0)) + 1.0) == 1.0
